@@ -1,0 +1,318 @@
+"""Exact Gaussian-process regression with an explicit Cholesky cache.
+
+TPU-native rebuild of the GP layer (SOBER/_gp.py). Design differences from
+the GPyTorch/BoTorch reference, all deliberate:
+
+  * GPState is an immutable pytree (hypers + cached Cholesky factor + alpha),
+    not a stateful ExactGP module. The Woodbury covar_cache hack
+    (SOBER/_gp.py:255-278) becomes the explicit factor L of (Kxx + sigma^2 I).
+  * Hyperparameters are fitted by MAP (MLL + Gamma log-priors, matching
+    gpytorch's GammaPrior(3,6) lengthscale / GammaPrior(2,0.15) outputscale in
+    SOBER/_gp.py:57-58) with optax L-BFGS, falling back to Adam when L-BFGS
+    yields a non-finite loss — the working analogue of the reference's
+    try/except fallback ladder (SOBER/_gp.py:173-186, whose L-BFGS path is
+    dead code due to a missing import).
+  * predict() uses the cached factor and triangular solves instead of LOVE
+    fast_pred_var (SOBER/_gp.py:212-238); the escalating-jitter retry is
+    inside jitter_cholesky.
+  * Everything jits; the fit loop is a lax.scan with best-iterate tracking.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.scipy.linalg import solve_triangular
+
+from ..ops.kernels import Kernel, KERNELS, make_kernel
+from ..utils.linalg import jitter_cholesky
+
+
+@jax.tree_util.register_static
+class GPConfig(NamedTuple):
+    kernel_name: str = "rbf"
+    ard: bool = False
+    # Noise interval constraint. Reference examples use Interval(1e-8, 1e-3)
+    # (examples/ackley.py:37); set_gp defaults to [lik/rng, lik*rng]
+    # (SOBER/_gp.py:55).
+    noise_lo: float = 1e-8
+    noise_hi: float = 1e-3
+    train_lik: bool = True
+    standardize_y: bool = True
+    use_priors: bool = True
+    fit_iters: int = 100
+    fit_lr: float = 0.1
+    mean: str = "zero"  # ZeroMean as in SOBER/_gp.py:18
+
+
+class GPParams(NamedTuple):
+    raw_lengthscale: jax.Array  # scalar or (d,) if ARD
+    raw_outputscale: jax.Array
+    raw_noise: jax.Array
+
+
+class GPState(NamedTuple):
+    """Fitted GP: hypers + data + cached Cholesky of (Kxx + sigma^2 I)."""
+
+    config: GPConfig
+    kernel: Kernel
+    noise: jax.Array
+    x: jax.Array          # (n, d) observed inputs
+    y: jax.Array          # (n,) standardized targets
+    y_mean: jax.Array
+    y_std: jax.Array
+    chol: jax.Array       # (n, n) lower Cholesky of Kxx + sigma^2 I
+    alpha: jax.Array      # (n,) = (Kxx + sigma^2 I)^-1 y
+
+    @property
+    def train_x(self):
+        return self.x
+
+    @property
+    def train_y(self):
+        return self.y
+
+
+# ----------------------------------------------------------------------------
+# parameter transforms
+# ----------------------------------------------------------------------------
+
+def _softplus(x):
+    return jax.nn.softplus(x)
+
+
+def _inv_softplus(y):
+    y = jnp.asarray(y)
+    return y + jnp.log(-jnp.expm1(-y))
+
+
+def _interval(raw, lo, hi):
+    return lo + (hi - lo) * jax.nn.sigmoid(raw)
+
+
+def _inv_interval(v, lo, hi):
+    p = jnp.clip((v - lo) / (hi - lo), 1e-6, 1 - 1e-6)
+    return jnp.log(p) - jnp.log1p(-p)
+
+
+def materialize(params: GPParams, cfg: GPConfig) -> tuple[Kernel, jax.Array]:
+    """raw params -> (Kernel spec, noise variance)."""
+    kparams = {"outputscale": _softplus(params.raw_outputscale)}
+    if cfg.kernel_name != "tanimoto":
+        kparams["lengthscale"] = _softplus(params.raw_lengthscale)
+    noise = _interval(params.raw_noise, cfg.noise_lo, cfg.noise_hi)
+    return Kernel(cfg.kernel_name, kparams), noise
+
+
+def init_params(cfg: GPConfig, n_dims: int, dtype=jnp.float32) -> GPParams:
+    shape = (n_dims,) if cfg.ard else ()
+    return GPParams(
+        raw_lengthscale=jnp.zeros(shape, dtype),          # softplus(0)=0.693
+        raw_outputscale=jnp.asarray(_inv_softplus(1.0), dtype),
+        raw_noise=jnp.asarray(
+            _inv_interval(jnp.sqrt(cfg.noise_lo * cfg.noise_hi),
+                          cfg.noise_lo, cfg.noise_hi), dtype),
+    )
+
+
+# ----------------------------------------------------------------------------
+# marginal likelihood (MAP objective)
+# ----------------------------------------------------------------------------
+
+def _gamma_logpdf(x, a, b):
+    return a * jnp.log(b) - jax.scipy.special.gammaln(a) \
+        + (a - 1.0) * jnp.log(x) - b * x
+
+
+def neg_mll(params: GPParams, x: jax.Array, y: jax.Array,
+            cfg: GPConfig) -> jax.Array:
+    """Negative (MAP) marginal log likelihood, normalized per datum as
+    gpytorch's ExactMarginalLogLikelihood does."""
+    n = x.shape[0]
+    kernel, noise = materialize(params, cfg)
+    k = kernel.gram(x, x) + noise * jnp.eye(n, dtype=x.dtype)
+    chol, _ = jitter_cholesky(k)
+    alpha = jax.scipy.linalg.cho_solve((chol, True), y)
+    mll = -0.5 * (y @ alpha) - jnp.sum(jnp.log(jnp.diagonal(chol))) \
+        - 0.5 * n * jnp.log(2.0 * jnp.pi)
+    if cfg.use_priors:
+        # gpytorch GammaPrior(3.0, 6.0) on lengthscale, (2.0, 0.15) on
+        # outputscale (SOBER/_gp.py:57-58)
+        if cfg.kernel_name != "tanimoto":
+            ls = _softplus(params.raw_lengthscale)
+            mll = mll + jnp.sum(_gamma_logpdf(ls, 3.0, 6.0))
+        os_ = _softplus(params.raw_outputscale)
+        mll = mll + _gamma_logpdf(os_, 2.0, 0.15)
+    return -mll / n
+
+
+# ----------------------------------------------------------------------------
+# fitting
+# ----------------------------------------------------------------------------
+
+def _fit_adam(params0: GPParams, x, y, cfg: GPConfig) -> GPParams:
+    """Fixed-iteration Adam with best-iterate tracking
+    (reference: train_GP_with_Adam, SOBER/_gp.py:128-155)."""
+    opt = optax.adam(cfg.fit_lr)
+    loss_fn = lambda p: neg_mll(p, x, y, cfg)
+
+    def step(carry, _):
+        params, opt_state, best_loss, best_params = carry
+        loss, grad = jax.value_and_grad(loss_fn)(params)
+        grad = jax.tree.map(jnp.nan_to_num, grad)
+        if not cfg.train_lik:
+            grad = grad._replace(raw_noise=jnp.zeros_like(grad.raw_noise))
+        updates, opt_state = opt.update(grad, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        improved = jnp.logical_and(jnp.isfinite(loss), loss < best_loss)
+        best_params = jax.tree.map(
+            lambda b, p: jnp.where(improved, p, b), best_params, params)
+        best_loss = jnp.where(improved, loss, best_loss)
+        return (new_params, opt_state, best_loss, best_params), None
+
+    carry = (params0, opt.init(params0), jnp.asarray(jnp.inf), params0)
+    (params, _, _, best_params), _ = jax.lax.scan(
+        step, carry, None, length=cfg.fit_iters)
+    # final candidate vs best iterate
+    final_loss = loss_fn(params)
+    best_loss = loss_fn(best_params)
+    take_final = jnp.logical_and(jnp.isfinite(final_loss),
+                                 final_loss <= best_loss)
+    return jax.tree.map(
+        lambda f, b: jnp.where(take_final, f, b), params, best_params)
+
+
+def _fit_lbfgs(params0: GPParams, x, y, cfg: GPConfig) -> GPParams:
+    """L-BFGS with zoom linesearch (the "BoTorch" path of
+    SOBER/_gp.py:174-175, which fits MAP-MLL with scipy L-BFGS-B)."""
+    loss_fn = lambda p: neg_mll(p, x, y, cfg)
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(loss_fn)
+
+    def step(carry, _):
+        params, opt_state = carry
+        value, grad = value_and_grad(params, state=opt_state)
+        grad = jax.tree.map(jnp.nan_to_num, grad)
+        if not cfg.train_lik:
+            grad = grad._replace(raw_noise=jnp.zeros_like(grad.raw_noise))
+        updates, opt_state = opt.update(
+            grad, opt_state, params, value=value, grad=grad, value_fn=loss_fn)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), value
+
+    (params, _), _ = jax.lax.scan(
+        step, (params0, opt.init(params0)), None, length=cfg.fit_iters // 2)
+    return params
+
+
+def fit_params(x: jax.Array, y: jax.Array, cfg: GPConfig,
+               params0: Optional[GPParams] = None,
+               optimiser: str = "lbfgs") -> GPParams:
+    """Optimiser ladder: L-BFGS, falling back to Adam on non-finite results
+    (SOBER/_gp.py:173-186)."""
+    if params0 is None:
+        params0 = init_params(cfg, x.shape[1], x.dtype)
+    if optimiser == "adam":
+        return _fit_adam(params0, x, y, cfg)
+    p_lbfgs = _fit_lbfgs(params0, x, y, cfg)
+    loss = neg_mll(p_lbfgs, x, y, cfg)
+    ok = jnp.isfinite(loss)
+
+    def take_lbfgs(_):
+        return p_lbfgs
+
+    def run_adam(_):
+        return _fit_adam(params0, x, y, cfg)
+
+    return jax.lax.cond(ok, take_lbfgs, run_adam, None)
+
+
+def build_state(params: GPParams, x: jax.Array, y_raw: jax.Array,
+                cfg: GPConfig) -> GPState:
+    """Materialize the prediction cache for fitted params."""
+    y_raw = y_raw.reshape(-1)
+    if cfg.standardize_y:
+        y_mean = jnp.mean(y_raw)
+        y_std = jnp.maximum(jnp.std(y_raw, ddof=1), 1e-12)
+    else:
+        y_mean = jnp.zeros((), y_raw.dtype)
+        y_std = jnp.ones((), y_raw.dtype)
+    y = (y_raw - y_mean) / y_std
+    kernel, noise = materialize(params, cfg)
+    n = x.shape[0]
+    k = kernel.gram(x, x) + noise * jnp.eye(n, dtype=x.dtype)
+    chol, _ = jitter_cholesky(k)
+    alpha = jax.scipy.linalg.cho_solve((chol, True), y)
+    return GPState(cfg, kernel, noise, x, y, y_mean, y_std, chol, alpha)
+
+
+def fit_gp(x: jax.Array, y: jax.Array, cfg: Optional[GPConfig] = None,
+           optimiser: str = "lbfgs", **cfg_kwargs) -> GPState:
+    """One-call GP fit (reference update_gp, SOBER/_gp.py:189-209).
+
+    Standardizes y (as examples/ackley.py:35 does), MAP-fits hypers on the
+    standardized scale, and returns the fitted GPState with caches.
+    """
+    if cfg is None:
+        cfg = GPConfig(**cfg_kwargs)
+    y = y.reshape(-1)
+    if cfg.standardize_y:
+        y_std_scale = (y - jnp.mean(y)) / jnp.maximum(jnp.std(y, ddof=1), 1e-12)
+    else:
+        y_std_scale = y
+    params = fit_params(x, y_std_scale, cfg, optimiser=optimiser)
+    return build_state(params, x, y, cfg)
+
+
+# ----------------------------------------------------------------------------
+# prediction (standardized scale — the scale the pi/kernel layers consume)
+# ----------------------------------------------------------------------------
+
+def predict(state: GPState, xq: jax.Array, include_noise: bool = True):
+    """Posterior mean/variance at xq on the standardized-y scale
+    (reference predict, SOBER/_gp.py:212-238, which returns the likelihood-
+    smeared posterior: variance includes observation noise)."""
+    kqx = state.kernel.gram(xq, state.x)                 # (m, n)
+    mean = kqx @ state.alpha
+    v = solve_triangular(state.chol, kqx.T, lower=True)  # (n, m)
+    var = state.kernel.diag(xq) - jnp.sum(v * v, axis=0)
+    var = jnp.maximum(var, 1e-12)
+    if include_noise:
+        var = var + state.noise
+    return mean, var
+
+
+def predict_raw(state: GPState, xq: jax.Array, include_noise: bool = True):
+    """Posterior on the original y scale."""
+    mean, var = predict(state, xq, include_noise)
+    return mean * state.y_std + state.y_mean, var * state.y_std**2
+
+
+def predict_mean(state: GPState, xq: jax.Array) -> jax.Array:
+    return predict(state, xq)[0]
+
+
+def predictive_covariance(state: GPState, x: jax.Array,
+                          y: jax.Array) -> jax.Array:
+    """Posterior cross-covariance k(x,y|D) = Kxy - KxX (Kxx+s^2 I)^-1 KXy.
+
+    Replaces the reference's Woodbury covar_cache route
+    (SOBER/_gp.py:281-305) with two triangular solves against the cached
+    factor — numerically stabler and one fused XLA program.
+    """
+    kxy = state.kernel.gram(x, y)
+    kxX = state.kernel.gram(x, state.x)
+    kXy = state.kernel.gram(state.x, y)
+    a = solve_triangular(state.chol, kxX.T, lower=True)   # (n, |x|)
+    b = solve_triangular(state.chol, kXy, lower=True)     # (n, |y|)
+    return kxy - a.T @ b
+
+
+def posterior_max_mean(state: GPState) -> jax.Array:
+    """eta = max posterior mean over the training inputs
+    (reference PI.__init__, SOBER/_pi.py:17)."""
+    mean, _ = predict(state, state.x)
+    return jnp.max(mean)

@@ -1,0 +1,143 @@
+"""Gram-matrix kernels, shaped for the TPU MXU.
+
+Every kernel here is expressed as one large matmul (the MXU path) plus a
+fused elementwise epilogue (the VPU path), rather than the per-pair closures
+GPyTorch builds in the reference (e.g. RBFKernel in examples/ackley.py:31,
+batch_tanimoto_sim in SOBER/_drug_modelling.py:15-25). Squared distances are
+computed as ||x||^2 + ||y||^2 - 2 x.y so the O(N*M*d) work lands on the
+systolic array.
+
+Kernels are pure functions of a parameter pytree: params = {"lengthscale":
+(d,) or scalar, "outputscale": scalar}. Dispatch is via the KERNELS registry
+and the lightweight `Kernel` spec (name + params).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+_SQRT3 = 1.7320508075688772
+_SQRT5 = 2.23606797749979
+
+
+def sqdist(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Pairwise squared Euclidean distance via matmul (MXU-friendly)."""
+    x2 = jnp.sum(x * x, axis=-1)
+    y2 = jnp.sum(y * y, axis=-1)
+    xy = x @ y.T
+    d2 = x2[:, None] + y2[None, :] - 2.0 * xy
+    return jnp.maximum(d2, 0.0)
+
+
+def _scale(x: jax.Array, params) -> jax.Array:
+    return x / params["lengthscale"]
+
+
+def rbf_gram(params, x: jax.Array, y: jax.Array) -> jax.Array:
+    d2 = sqdist(_scale(x, params), _scale(y, params))
+    return params["outputscale"] * jnp.exp(-0.5 * d2)
+
+
+def matern12_gram(params, x: jax.Array, y: jax.Array) -> jax.Array:
+    r = jnp.sqrt(sqdist(_scale(x, params), _scale(y, params)) + 1e-20)
+    return params["outputscale"] * jnp.exp(-r)
+
+
+def matern32_gram(params, x: jax.Array, y: jax.Array) -> jax.Array:
+    r = jnp.sqrt(sqdist(_scale(x, params), _scale(y, params)) + 1e-20)
+    return params["outputscale"] * (1.0 + _SQRT3 * r) * jnp.exp(-_SQRT3 * r)
+
+
+def matern52_gram(params, x: jax.Array, y: jax.Array) -> jax.Array:
+    r2 = sqdist(_scale(x, params), _scale(y, params))
+    r = jnp.sqrt(r2 + 1e-20)
+    return (
+        params["outputscale"]
+        * (1.0 + _SQRT5 * r + (5.0 / 3.0) * r2)
+        * jnp.exp(-_SQRT5 * r)
+    )
+
+
+def linear_gram(params, x: jax.Array, y: jax.Array) -> jax.Array:
+    return params["outputscale"] * (_scale(x, params) @ _scale(y, params).T)
+
+
+def tanimoto_gram(params, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Tanimoto (Jaccard) similarity for bit-vector fingerprints.
+
+    T(x, y) = <x,y> / (||x||^2 + ||y||^2 - <x,y>)  — one matmul on the MXU
+    (reference: batch_tanimoto_sim, SOBER/_drug_modelling.py:15-25).
+    No lengthscale; outputscale only.
+    """
+    xy = x @ y.T
+    x2 = jnp.sum(x * x, axis=-1)
+    y2 = jnp.sum(y * y, axis=-1)
+    denom = x2[:, None] + y2[None, :] - xy
+    return params["outputscale"] * xy / jnp.maximum(denom, 1e-20)
+
+
+KERNELS: dict[str, Callable] = {
+    "rbf": rbf_gram,
+    "matern12": matern12_gram,
+    "matern32": matern32_gram,
+    "matern52": matern52_gram,
+    "linear": linear_gram,
+    "tanimoto": tanimoto_gram,
+}
+
+# kernels whose params contain no lengthscale
+_NO_LENGTHSCALE = frozenset({"tanimoto"})
+
+
+@jax.tree_util.register_pytree_node_class
+class Kernel:
+    """Kernel spec: registry name (static) + parameter pytree (traced)."""
+
+    __slots__ = ("name", "params")
+
+    def __init__(self, name: str, params: dict):
+        self.name = name
+        self.params = params
+
+    def tree_flatten(self):
+        return (self.params,), self.name
+
+    @classmethod
+    def tree_unflatten(cls, name, children):
+        return cls(name, children[0])
+
+    def __repr__(self):
+        return f"Kernel({self.name!r}, {self.params!r})"
+
+    def __eq__(self, other):
+        return (isinstance(other, Kernel) and self.name == other.name
+                and self.params == other.params)
+
+    def gram(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        return KERNELS[self.name](self.params, x, y)
+
+    def diag(self, x: jax.Array) -> jax.Array:
+        if self.name == "linear":
+            xs = _scale(x, self.params)
+            return self.params["outputscale"] * jnp.sum(xs * xs, axis=-1)
+        if self.name == "tanimoto":
+            return jnp.full(x.shape[0], self.params["outputscale"],
+                            dtype=x.dtype)
+        # stationary kernels: k(x, x) = outputscale
+        return jnp.full(x.shape[0],
+                        jnp.asarray(self.params["outputscale"], x.dtype))
+
+
+def make_kernel(name: str, n_dims: int | None = None, ard: bool = False,
+                lengthscale: float = 1.0, outputscale: float = 1.0,
+                dtype=jnp.float32) -> Kernel:
+    params = {"outputscale": jnp.asarray(outputscale, dtype)}
+    if name not in _NO_LENGTHSCALE:
+        if ard:
+            assert n_dims is not None
+            params["lengthscale"] = jnp.full((n_dims,), lengthscale, dtype)
+        else:
+            params["lengthscale"] = jnp.asarray(lengthscale, dtype)
+    return Kernel(name, params)

@@ -42,27 +42,32 @@ def jitter_cholesky(a: jax.Array, initial_jitter: float = 0.0,
     a = symmetrize(jnp.nan_to_num(a))
     n = a.shape[-1]
     eye = jnp.eye(n, dtype=a.dtype)
-    # scale-aware starting jitter
-    scale = jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(a))), 1e-30)
-    base = jnp.asarray(initial_jitter, a.dtype)
 
-    def try_chol(jit_val):
-        L = jnp.linalg.cholesky(a + jit_val * eye)
-        ok = jnp.all(jnp.isfinite(L))
-        return L, ok
+    def find_jitter(a_const):
+        """Non-differentiable jitter search (runs under stop_gradient so the
+        escalation loop never appears on the autodiff tape)."""
+        scale = jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(a_const))), 1e-30)
+        base = jnp.asarray(initial_jitter, a_const.dtype)
 
-    def cond(carry):
-        i, _, ok, _ = carry
-        return jnp.logical_and(~ok, i < max_tries)
+        def ok_at(jit_val):
+            L = jnp.linalg.cholesky(a_const + jit_val * eye)
+            return jnp.all(jnp.isfinite(L))
 
-    def body(carry):
-        i, jit_val, _, _ = carry
-        new_jit = jnp.where(jit_val == 0.0, 1e-6 * scale, jit_val * 10.0)
-        L, ok = try_chol(new_jit)
-        return i + 1, new_jit, ok, L
+        def cond(carry):
+            i, _, ok = carry
+            return jnp.logical_and(~ok, i < max_tries)
 
-    L0, ok0 = try_chol(base)
-    i, jit_val, ok, L = lax.while_loop(cond, body, (0, base, ok0, L0))
+        def body(carry):
+            i, jit_val, _ = carry
+            new_jit = jnp.where(jit_val == 0.0, 1e-6 * scale, jit_val * 10.0)
+            return i + 1, new_jit, ok_at(new_jit)
+
+        _, jit_val, ok = lax.while_loop(cond, body, (0, base, ok_at(base)))
+        return jit_val, ok
+
+    jit_val, ok = jax.lax.stop_gradient(find_jitter(lax.stop_gradient(a)))
+    # single differentiable factorization at the found jitter
+    L = jnp.linalg.cholesky(a + jit_val * eye)
     # final fallback: diagonal-only covariance
     diag_L = jnp.sqrt(jnp.maximum(jnp.diagonal(a), 1e-30)) * eye
     L = jnp.where(ok, L, diag_L)

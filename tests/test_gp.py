@@ -1,0 +1,134 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sober_tpu.ops import make_kernel, sqdist, tanimoto_gram, kmeans
+from sober_tpu.gp import (
+    GPConfig,
+    fit_gp,
+    predict,
+    predict_raw,
+    predictive_covariance,
+    posterior_max_mean,
+)
+
+
+class TestKernels:
+    def test_sqdist_exact(self):
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(5, 3)).astype(np.float32)
+        y = rng.normal(size=(4, 3)).astype(np.float32)
+        want = ((x[:, None] - y[None]) ** 2).sum(-1)
+        got = np.asarray(sqdist(jnp.asarray(x), jnp.asarray(y)))
+        assert np.allclose(got, want, atol=1e-4)
+
+    def test_rbf_diag_and_psd(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(size=(20, 2)), jnp.float32)
+        k = make_kernel("rbf", lengthscale=0.7, outputscale=2.0)
+        g = np.asarray(k.gram(x, x))
+        assert np.allclose(np.diag(g), 2.0, atol=1e-5)
+        ev = np.linalg.eigvalsh(g)
+        assert ev.min() > -1e-4
+
+    def test_matern52_one_dim(self):
+        k = make_kernel("matern52")
+        x = jnp.array([[0.0]])
+        y = jnp.array([[1.0]])
+        r = np.sqrt(5.0)
+        want = (1 + r + 5.0 / 3.0) * np.exp(-r)
+        assert np.isclose(float(k.gram(x, y)[0, 0]), want, atol=1e-5)
+
+    def test_tanimoto(self):
+        x = jnp.array([[1.0, 1.0, 0.0, 0.0]])
+        y = jnp.array([[1.0, 0.0, 1.0, 0.0]])
+        got = float(tanimoto_gram({"outputscale": 1.0}, x, y)[0, 0])
+        assert np.isclose(got, 1.0 / 3.0)  # |x&y|=1, |x|+|y|-|x&y|=3
+
+    def test_ard_kernel(self):
+        k = make_kernel("rbf", n_dims=3, ard=True)
+        x = jnp.ones((4, 3))
+        g = k.gram(x, x)
+        assert g.shape == (4, 4)
+
+
+class TestKMeans:
+    def test_separated_clusters(self):
+        rng = np.random.default_rng(0)
+        a = rng.normal(size=(50, 2)) * 0.1
+        b = rng.normal(size=(50, 2)) * 0.1 + 10.0
+        x = jnp.asarray(np.vstack([a, b]), jnp.float32)
+        labels, c = kmeans(x, 2, n_iter=20)
+        c = np.asarray(c)
+        dist_to_0 = min(np.linalg.norm(c[0]), np.linalg.norm(c[1]))
+        dist_to_10 = min(np.linalg.norm(c[0] - 10), np.linalg.norm(c[1] - 10))
+        assert dist_to_0 < 0.5 and dist_to_10 < 0.5
+
+
+def _toy_gp_data(n=40, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-3, 3, size=(n, 1)).astype(np.float32)
+    y = np.sin(x[:, 0]) + 0.01 * rng.normal(size=n).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+class TestExactGP:
+    def test_fit_interpolates(self):
+        x, y = _toy_gp_data()
+        state = fit_gp(x, y)
+        mean, var = predict_raw(state, x)
+        assert np.sqrt(np.mean((np.asarray(mean) - np.asarray(y)) ** 2)) < 0.1
+
+    def test_predict_variance_grows_off_data(self):
+        x, y = _toy_gp_data()
+        state = fit_gp(x, y)
+        _, var_on = predict(state, x[:5])
+        _, var_off = predict(state, jnp.array([[30.0]]))
+        assert float(var_off[0]) > float(np.mean(var_on)) * 10
+
+    def test_noise_interval_respected(self):
+        x, y = _toy_gp_data()
+        cfg = GPConfig(noise_lo=1e-8, noise_hi=1e-3)
+        state = fit_gp(x, y, cfg)
+        assert 1e-8 <= float(state.noise) <= 1e-3
+
+    def test_predictive_covariance_matches_var(self):
+        x, y = _toy_gp_data()
+        state = fit_gp(x, y)
+        xq = jnp.asarray(np.random.default_rng(3).uniform(-3, 3, (6, 1)),
+                         jnp.float32)
+        cov = predictive_covariance(state, xq, xq)
+        _, var = predict(state, xq, include_noise=False)
+        assert np.allclose(np.diag(np.asarray(cov)), np.asarray(var),
+                           atol=1e-4)
+        # symmetric PSD
+        c = np.asarray(cov)
+        assert np.allclose(c, c.T, atol=1e-5)
+        assert np.linalg.eigvalsh(c).min() > -1e-4
+
+    def test_predictive_covariance_near_zero_at_train(self):
+        x, y = _toy_gp_data()
+        state = fit_gp(x, y)
+        cov = predictive_covariance(state, x[:3], x[:3])
+        assert np.abs(np.asarray(cov)).max() < 1e-2
+
+    def test_adam_fallback_path(self):
+        x, y = _toy_gp_data()
+        state = fit_gp(x, y, optimiser="adam")
+        mean, _ = predict_raw(state, x)
+        assert np.sqrt(np.mean((np.asarray(mean) - np.asarray(y)) ** 2)) < 0.2
+
+    def test_posterior_max_mean(self):
+        x, y = _toy_gp_data()
+        state = fit_gp(x, y)
+        eta = float(posterior_max_mean(state))
+        y_std = (np.asarray(y) - np.asarray(y).mean()) / np.asarray(y).std(ddof=1)
+        assert abs(eta - y_std.max()) < 0.3
+
+    def test_jit_predict(self):
+        x, y = _toy_gp_data()
+        state = fit_gp(x, y)
+        f = jax.jit(lambda s, xq: predict(s, xq))
+        mean, var = f(state, x[:4])
+        assert mean.shape == (4,) and var.shape == (4,)
