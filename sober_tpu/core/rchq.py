@@ -1,0 +1,294 @@
+"""Kernel recombination (RCHQ) — the quadrature core of SOBER.
+
+Statically-shaped, fully jittable rebuild of SOBER/_rchq.py (recombination /
+ker_svd_sparsify / Mod_Tchernychova_Lyons / Tchernychova_Lyons_CAR).
+
+Algorithm (Hayakawa et al., kernel quadrature via recombination): given N
+weighted candidates and s-1 Nystrom test functions, find <= s points with
+non-negative weights whose weighted empirical measure matches the candidate
+measure's mean embedding on the test-function span.
+
+TPU-first redesign vs the reference:
+
+  * The test-function matrix Phi = U @ K(X_nys, X_cand) is formed ONCE as a
+    single MXU matmul. The reference re-evaluates kernel(pt_nys, samp[idx])
+    inside every halving round (SOBER/_rchq.py:124-156) — O(2N) kernel
+    evaluations; here rounds only gather columns of the precomputed Phi.
+  * The data-dependently shrinking index story (SOBER/_rchq.py:63-221)
+    becomes a power-of-two slot tree: slots are padded with a dummy index
+    (zero feature column, zero weight), every round reshapes E*M slots into
+    M barycenter columns of E members, Caratheodory elimination keeps
+    exactly n+1 columns, so the slot count halves on a fully static
+    schedule. Dummy slots are mathematically inert: they carry zero weight
+    and a zero "mass" coordinate, so Caratheodory eliminates them with
+    alpha=0 no-ops (the same mechanism the reference uses for
+    already-zeroed points).
+  * Caratheodory elimination (SOBER/_rchq.py:224-270) runs a fixed number of
+    rank-1 null-space updates under lax.fori_loop, with sign-flip recovery
+    where the reference breaks out (SOBER/_rchq.py:240-242).
+  * The acquisition-augmentation path (calc_obj: extra objective row +
+    null-space push, SOBER/_rchq.py:79-105,138-196) is implemented as a
+    static post-CAR step.
+
+Invariants (tested): w >= 0, sum w = sum mu, and Phi @ (w scattered) equals
+Phi @ mu to fp32 tolerance (moment matching).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.linalg import make_psd
+
+
+class RecombinationResult(NamedTuple):
+    idx: jax.Array      # (num_pts,) int32 indices into pts_rec
+    w: jax.Array        # (num_pts,) non-negative quadrature weights
+                        # (entries may be 0 when fewer support points needed)
+
+
+# ----------------------------------------------------------------------------
+# Caratheodory elimination
+# ----------------------------------------------------------------------------
+
+def _caratheodory(x: jax.Array, mu: jax.Array, n_elim: int,
+                  row_mask: jax.Array) -> jax.Array:
+    """Eliminate `n_elim` points from the weighted configuration (x, mu).
+
+    x: (M, p) rows = points in test-function space INCLUDING the mass/mask
+       column; mu: (M,) non-negative weights; row_mask: (M,) 1.0 for real
+       rows, 0.0 for padding rows. Returns updated mu with at least n_elim
+       more zeros (barring degenerate skips), preserving x.T @ mu exactly in
+       infinite precision.
+
+    Reference: Tchernychova_Lyons_CAR, SOBER/_rchq.py:224-270. The reference
+    never sees padding rows (its index story is compacted dynamically); here
+    padding rows must not receive mass, so null directions are additionally
+    constrained to vanish on them: the constraint matrix is augmented with an
+    indicator column per masked row, and directions whose singular value is
+    not ~0 (i.e. not genuinely null) are skipped.
+    """
+    m = x.shape[0]
+    # constraints: x^T phi = 0  AND  phi_i = 0 on masked rows
+    d_block = jnp.diag(1.0 - row_mask)                     # (M, M)
+    a = jnp.concatenate([x, d_block], axis=1)               # (M, p + M)
+    _, s, vh = jnp.linalg.svd(a.T, full_matrices=True)      # vh: (M, M)
+    phi_mat = vh[m - n_elim:, :].T                          # (M, n_elim)
+    sig = s[m - n_elim:]                                    # matching sigmas
+    tol = 1e-5 * jnp.maximum(s[0], 1.0)
+    is_null = sig <= tol                                    # (n_elim,)
+    col_ids = jnp.arange(n_elim)
+
+    def body(t, carry):
+        mu, phi_mat = carry
+        phi = phi_mat[:, t]
+        # sign-flip recovery: either sign of a null direction is valid
+        # (the reference breaks out instead, SOBER/_rchq.py:240-242)
+        has_pos = jnp.any(phi > 0)
+        phi = jnp.where(has_pos, phi, -phi)
+        plis = phi > 0
+        alpha = jnp.where(plis, mu / jnp.where(plis, phi, 1.0), jnp.inf)
+        idx = jnp.argmin(alpha)
+        a_min = alpha[idx]
+        valid = jnp.logical_and(jnp.any(plis), jnp.isfinite(a_min))
+        valid = jnp.logical_and(valid, is_null[t])
+        mu_new = jnp.maximum(mu - a_min * phi, 0.0)
+        mu_new = mu_new.at[idx].set(0.0)
+        mu_new = jnp.where(valid, mu_new, mu)
+        # rank-1 update keeps later columns null while zeroing coordinate
+        # idx (SOBER/_rchq.py:260-266), so eliminated points never re-enter
+        denom = jnp.where(jnp.abs(phi[idx]) > 1e-30, phi[idx], 1.0)
+        corr = phi[:, None] * (phi_mat[idx, :][None, :] / denom)
+        later = (col_ids > t)[None, :]
+        upd = jnp.where(jnp.logical_and(valid, later), phi_mat - corr, phi_mat)
+        row_idx = jnp.where(later[0], 0.0, upd[idx, :])
+        upd = upd.at[idx, :].set(jnp.where(valid, row_idx, upd[idx, :]))
+        return mu_new, upd
+
+    mu, _ = jax.lax.fori_loop(0, n_elim, body, (mu, phi_mat))
+    return mu
+
+
+def _null_space_push(feats: jax.Array, mass: jax.Array, obj: jax.Array,
+                     w: jax.Array) -> jax.Array:
+    """Zero one more weight by pushing along the null space, improving the
+    acquisition objective (reference: SOBER/_rchq.py:87-105,177-196).
+
+    feats: (n_feat, K) kept test-function values (without the obj row);
+    mass: (K,) mass coordinates (1 real / 0 dummy); obj: (K,) objective
+    values (reference convention: obj = -calc_obj, so pushing with
+    dot(obj, w_null) >= 0 increases total acquisition); w: (K,) weights.
+    """
+    xp = jnp.concatenate(
+        [feats, mass[None, :], jnp.diag(1.0 - mass)], axis=0)
+    _, s, vh = jnp.linalg.svd(xp, full_matrices=True)       # (K, K)
+    w_null = vh[-1]
+    sig_ok = s[-1] <= 1e-5 * jnp.maximum(s[0], 1.0)
+    w_null = jnp.where(jnp.dot(obj, w_null) < 0, -w_null, w_null)
+    plis = w_null > 0
+    alpha = jnp.where(plis, w / jnp.where(plis, w_null, 1.0), jnp.inf)
+    idx = jnp.argmin(alpha)
+    valid = jnp.logical_and(jnp.any(plis), jnp.isfinite(alpha[idx]))
+    valid = jnp.logical_and(valid, sig_ok)
+    w_new = jnp.maximum(w - alpha[idx] * w_null, 0.0)
+    w_new = w_new.at[idx].set(0.0)
+    return jnp.where(valid, w_new, w)
+
+
+# ----------------------------------------------------------------------------
+# hierarchical reduction over the precomputed feature matrix
+# ----------------------------------------------------------------------------
+
+def _reduce_tree(phi_ext: jax.Array, obj_ext: Optional[jax.Array],
+                 mu_ext: jax.Array, n_test: int, n_pool: int):
+    """Run the halving tree.
+
+    phi_ext: (n_test, n_pool+1) test-function features, dummy column last
+             (index n_pool, all zeros).
+    obj_ext: optional (n_pool+1,) objective row (already negated), dummy 0.
+    mu_ext:  (n_pool+1,) weights, dummy 0.
+
+    Returns mu_ext with support on <= n_test+1 real points.
+    """
+    use_obj = obj_ext is not None
+    n_keep = n_test + 1                    # columns kept per round
+    m = 2 * n_keep                         # barycenters per round
+    # pad the slot count to m * 2^R
+    n_rounds = max(0, math.ceil(math.log2(max(n_pool / m, 1.0))))
+    e0 = 2 ** n_rounds
+    s0 = e0 * m
+    dummy = n_pool
+
+    slots = jnp.concatenate([
+        jnp.arange(n_pool, dtype=jnp.int32),
+        jnp.full((s0 - n_pool,), dummy, dtype=jnp.int32),
+    ])
+
+    def run_car(bary_feats, bary_obj, mask, tot):
+        """CAR (+ optional push) on M barycenters; returns kept weights per
+        barycenter (exactly n_keep positive at most)."""
+        rows = [bary_feats]
+        if use_obj:
+            rows.append(bary_obj[None, :])
+        rows.append(mask[None, :])
+        x_car = jnp.concatenate(rows, axis=0).T            # (m, p)
+        p = x_car.shape[1]
+        mu_out = _caratheodory(x_car, tot, m - p, mask)
+        if use_obj:
+            # null-space push restricted to the post-CAR support
+            # (reference pushes on the kept columns, _rchq.py:177-196)
+            support = (mu_out > 0).astype(x_car.dtype)
+            mu_out = _null_space_push(bary_feats, support, bary_obj, mu_out)
+        return mu_out
+
+    e = e0
+    for _ in range(n_rounds):
+        cols = slots.reshape(e, m)                         # member (e) x bary (m)
+        w_cols = mu_ext[cols]                              # (e, m)
+        tot = jnp.sum(w_cols, axis=0)                      # (m,)
+        safe_tot = jnp.maximum(tot, 1e-30)
+        f = phi_ext[:, cols]                               # (n_test, e, m)
+        bary = jnp.einsum("tem,em->tm", f, w_cols) / safe_tot
+        mask = (tot > 0).astype(phi_ext.dtype)
+        if use_obj:
+            bary_obj = jnp.einsum("em,em->m", obj_ext[cols], w_cols) / safe_tot
+        else:
+            bary_obj = None
+        mu_out = run_car(bary, bary_obj, mask, tot)
+
+        w_kept, kept = jax.lax.top_k(mu_out, n_keep)       # (n_keep,)
+        scale = jnp.where(tot[kept] > 0, w_kept / jnp.maximum(tot[kept], 1e-30), 0.0)
+        kept_cols = cols[:, kept]                          # (e, n_keep)
+        new_w = w_cols[:, kept] * scale[None, :]           # (e, n_keep)
+        mu_ext = jnp.zeros_like(mu_ext).at[kept_cols.reshape(-1)].add(
+            new_w.reshape(-1))
+        mu_ext = mu_ext.at[dummy].set(0.0)
+        # fp drift control: renormalize to the original mass (=1)
+        total = jnp.sum(mu_ext)
+        mu_ext = jnp.where(total > 0, mu_ext / jnp.where(total > 0, total, 1.0),
+                           mu_ext)
+        slots = kept_cols.reshape(-1)                      # (e * n_keep,) = s/2
+        e = e // 2
+
+    # final stage: <= m slots, CAR on raw points
+    n_slots = slots.shape[0]
+    if n_slots < m:
+        slots = jnp.concatenate([
+            slots, jnp.full((m - n_slots,), dummy, jnp.int32)])
+    w_slots = mu_ext[slots]
+    f = phi_ext[:, slots]                                  # (n_test, m)
+    mask = (w_slots > 0).astype(phi_ext.dtype)
+    bary_obj = obj_ext[slots] if use_obj else None
+    mu_out = run_car(f, bary_obj, mask, w_slots)
+
+    w_kept, kept = jax.lax.top_k(mu_out, n_keep)
+    mu_final = jnp.zeros_like(mu_ext).at[slots[kept]].add(w_kept)
+    mu_final = mu_final.at[dummy].set(0.0)
+    total = jnp.sum(mu_final)
+    mu_final = jnp.where(total > 0,
+                         mu_final / jnp.where(total > 0, total, 1.0), mu_final)
+    return mu_final
+
+
+# ----------------------------------------------------------------------------
+# public API
+# ----------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("num_pts", "kernel", "calc_obj"))
+def recombination(pts_rec: jax.Array, pts_nys: jax.Array, num_pts: int,
+                  kernel: Callable, init_weights: Optional[jax.Array] = None,
+                  calc_obj: Optional[Callable] = None) -> RecombinationResult:
+    """Sparsify a weighted candidate pool to `num_pts` quadrature points.
+
+    Args (reference signature: SOBER/_rchq.py:5-31, minus device/dtype which
+    JAX arrays carry):
+      pts_rec:  (N, d) candidate pool (the empirical measure support)
+      pts_nys:  (n_nys, d) Nystrom subset for the spectral test functions
+      num_pts:  batch size s; at most s points get positive weight
+      kernel:   callable (X, Y) -> PSD Gram matrix
+      init_weights: optional (N,) importance weights (default uniform)
+      calc_obj: optional callable X -> (N,) acquisition values to be
+                maximized subject to the quadrature constraints
+
+    Returns RecombinationResult(idx (s,), w (s,)): some trailing weights may
+    be zero (the reference returns a variable-length list instead).
+    """
+    n_pool = pts_rec.shape[0]
+    n_test = num_pts - 1
+    if pts_nys.shape[0] < num_pts:
+        raise ValueError(
+            f"n_nys={pts_nys.shape[0]} must be >= num_pts={num_pts}")
+
+    # Nystrom spectral basis (reference: ker_svd_sparsify, _rchq.py:34-39)
+    k_nys = make_psd(kernel(pts_nys, pts_nys))
+    _, eigvecs = jnp.linalg.eigh(k_nys)                    # ascending
+    u = eigvecs[:, -n_test:].T                             # (n_test, n_nys)
+
+    # the one big MXU matmul: test functions over the whole pool
+    phi = u @ kernel(pts_nys, pts_rec)                     # (n_test, N)
+    phi_ext = jnp.concatenate(
+        [phi, jnp.zeros((n_test, 1), phi.dtype)], axis=1)  # dummy col
+
+    if init_weights is None:
+        mu = jnp.full((n_pool,), 1.0 / n_pool, phi.dtype)
+    else:
+        mu = jnp.maximum(init_weights, 0.0)
+        tot = jnp.sum(mu)
+        mu = jnp.where(tot > 0, mu / jnp.where(tot > 0, tot, 1.0),
+                       jnp.full((n_pool,), 1.0 / n_pool, phi.dtype))
+    mu_ext = jnp.concatenate([mu, jnp.zeros((1,), mu.dtype)])
+
+    if calc_obj is not None:
+        obj = -calc_obj(pts_rec)                           # _rchq.py:69
+        obj_ext = jnp.concatenate([obj, jnp.zeros((1,), obj.dtype)])
+    else:
+        obj_ext = None
+
+    mu_final = _reduce_tree(phi_ext, obj_ext, mu_ext, n_test, n_pool)
+
+    w_star, idx_star = jax.lax.top_k(mu_final[:n_pool], num_pts)
+    return RecombinationResult(idx_star.astype(jnp.int32), w_star)
