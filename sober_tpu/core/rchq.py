@@ -262,6 +262,10 @@ def recombination(pts_rec: jax.Array, pts_nys: jax.Array, num_pts: int,
     if pts_nys.shape[0] < num_pts:
         raise ValueError(
             f"n_nys={pts_nys.shape[0]} must be >= num_pts={num_pts}")
+    if init_weights is not None and init_weights.shape[0] != n_pool:
+        raise ValueError(
+            f"init_weights has {init_weights.shape[0]} entries but pts_rec "
+            f"has {n_pool} rows")
 
     # Nystrom spectral basis (reference: ker_svd_sparsify, _rchq.py:34-39)
     k_nys = make_psd(kernel(pts_nys, pts_nys))

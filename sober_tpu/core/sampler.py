@@ -1,0 +1,279 @@
+"""Importance sampler pipeline: prior -> pi-weighted candidate pool.
+
+Rebuild of SOBER/_sampler.py (RecombinationSampler / EmpiricalSampler /
+MixtureSampler). Structural redesign for XLA:
+
+  * The candidate pool has a FIXED size n_rec throughout. The reference's
+    recursive_sampling concatenates variable-length accepted subsets
+    (SOBER/_sampler.py:205-261); here rejected rows simply keep weight 0 and
+    later rounds refill them in place, so every downstream stage (RCHQ,
+    KMeans, WKDE refit) compiles once per configuration.
+  * Nystrom point selection for continuous domains resamples the pool by
+    weight and runs jitted KMeans (reference: SOBER/_sampler.py:316-320).
+  * Dataset domains evaluate pi over the full (masked) feature matrix and
+    prune with a static top-k (adaptive_pruning, SOBER/_sampler.py:325-349).
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.kmeans import kmeans_resampling
+from ..priors.base import BasePrior
+from ..priors.continuous import Uniform
+from ..priors.discrete import (
+    BinaryPrior,
+    CategoricalPrior,
+    MixedBinaryPrior,
+    MixedCategoricalPrior,
+)
+from ..utils.prng import KeyRing
+from ..utils.weights import (
+    cleansing_weights,
+    check_weights,
+    weighted_resampling,
+    deweighted_resampling,
+)
+from .prior_update import (
+    update_binary_prior,
+    update_categorical_prior,
+    update_continuous_prior,
+    update_mixed_prior,
+)
+from .rchq import recombination
+
+
+class RecombinationSampler:
+    """Kernel recombination step (SOBER/_sampler.py:11-59)."""
+
+    def __init__(self, kernel: Callable, thresh: int = 5, seed: int = 0):
+        self.kernel = kernel
+        self.thresh = thresh
+        self.keys = KeyRing(seed)
+
+    def sampling_recombination(self, x_cand, x_nys, weights, batch_size,
+                               calc_obj=None):
+        return recombination(x_cand, x_nys, batch_size, self.kernel,
+                             init_weights=weights, calc_obj=calc_obj)
+
+
+class EmpiricalSampler(RecombinationSampler):
+    """pi-importance sampling pipeline (SOBER/_sampler.py:61-382)."""
+
+    def __init__(self, prior: BasePrior, pi, kernel: Callable,
+                 thresh: int = 5, label: str = "mixedbinary", seed: int = 0):
+        super().__init__(kernel, thresh=thresh, seed=seed)
+        self.thresh_initial = thresh
+        self.prior = prior
+        self.pi = pi
+        self.label = label
+        self.flag = False
+
+    # -- prior management ----------------------------------------------------
+
+    def initialise_prior(self):
+        """Reset the proposal to the original domain prior
+        (SOBER/_sampler.py:87-111)."""
+        p = self.prior
+        if self.label == "continuous":
+            self.prior = Uniform(p.bounds)
+        elif self.label == "binary":
+            self.prior = BinaryPrior(p.n_dims)
+        elif self.label == "categorical":
+            self.prior = CategoricalPrior(p.categories)
+        elif self.label == "mixedbinary":
+            self.prior = MixedBinaryPrior(
+                p.n_dims_cont, p.n_dims_binary, p.bounds, p.continous_first)
+        elif self.label == "mixedcategorical":
+            self.prior = MixedCategoricalPrior(
+                p.n_dims_cont, p.n_dims_disc, p.categories, p.bounds,
+                p.continous_first)
+
+    def update_prior(self, x_cand, weights, verbose: bool = False):
+        """Fit the proposal to the weights (SOBER/_sampler.py:113-157).
+
+        For categorical domains x_cand must carry category indices in the
+        discrete block.
+        """
+        key = self.keys.next()
+        if self.label == "mixedbinary":
+            self.prior = update_mixed_prior(x_cand, weights, self.prior,
+                                            label="binary", key=key)
+        elif self.label == "mixedcategorical":
+            self.prior = update_mixed_prior(x_cand, weights, self.prior,
+                                            label="categorical", key=key)
+        elif self.label == "continuous":
+            self.prior = update_continuous_prior(
+                x_cand, weights, self.prior, self.prior.n_dims, key=key)
+        elif self.label == "categorical":
+            self.prior = update_categorical_prior(
+                weights, x_cand.astype(jnp.int32), self.prior)
+        elif self.label == "binary":
+            self.prior = update_binary_prior(weights, x_cand, self.prior)
+        else:
+            raise ValueError(
+                'The domain type should be from "continuous", "binary", '
+                '"categorical", "mixedbinary", "mixedcategorical"')
+
+    def check_categorical(self) -> bool:
+        return self.label in ("categorical", "mixedcategorical")
+
+    # -- sampling ------------------------------------------------------------
+
+    def sampling(self, n_rec: int):
+        """One pool draw: X ~ prior, w = pi(X)/p(X) (SOBER/_sampler.py:173-187)."""
+        x_cand = self.prior.sample(self.keys.next(), n_rec)
+        weights = self.pi(x_cand) / jnp.maximum(self.prior.pdf(x_cand), 1e-38)
+        return x_cand, cleansing_weights(weights)
+
+    def categorical_sampling(self, n_rec: int):
+        """Pool draw returning values and index representation
+        (SOBER/_sampler.py:189-203)."""
+        x_cand, x_indices = self.prior.sample_both(self.keys.next(), n_rec)
+        if hasattr(self.prior, "pdf_indices"):
+            pdfs = self.prior.pdf_indices(x_indices)
+        else:
+            pdfs = jnp.exp(self.prior.logpdf_indices(
+                x_indices.astype(jnp.int32)))
+        weights = self.pi(x_cand) / jnp.maximum(pdfs, 1e-38)
+        return x_cand, x_indices, cleansing_weights(weights)
+
+    def _draw(self, n_rec: int):
+        if self.check_categorical():
+            x, xi, w = self.categorical_sampling(n_rec)
+        else:
+            x, w = self.sampling(n_rec)
+            xi = None
+        return x, xi, w
+
+    def recursive_sampling(self, n_rec: int, n_repeat: int = 5,
+                           verbose: bool = False):
+        """Fixed-size accumulate-until-enough sampling
+        (SOBER/_sampler.py:205-261). Rows with zero weight are refilled in
+        place by later rounds; if nothing is ever accepted, fall back to
+        uniform weights over a fresh draw (self.flag = True)."""
+        self.flag = False
+        x, xi, w = self._draw(n_rec)
+        n_accepted = int(jnp.sum(w > 0))
+        for _ in range(1, n_repeat):
+            if n_accepted > self.thresh:
+                break
+            x2, xi2, w2 = self._draw(n_rec)
+            fill = jnp.logical_and(w == 0, w2 > 0)
+            x = jnp.where(fill[:, None], x2, x)
+            if xi is not None:
+                xi = jnp.where(fill[:, None], xi2, xi)
+            w = jnp.where(fill, w2, w)
+            n_accepted = int(jnp.sum(w > 0))
+        if n_accepted == 0:
+            self.flag = True
+            w = jnp.full((n_rec,), 1.0 / n_rec)
+        else:
+            w = cleansing_weights(w)
+        if self.check_categorical():
+            return x, xi, w
+        return x, w
+
+    def _select_nys(self, x_cand, weights, n_nys: int):
+        """Nystrom subset: KMeans centroids for continuous domains, inverse-
+        weight resampling otherwise (SOBER/_sampler.py:316-320)."""
+        if self.label == "continuous":
+            n_in = min(x_cand.shape[0], 4096)
+            idx = weighted_resampling(self.keys.next(), weights, n_in)
+            return kmeans_resampling(x_cand[idx], n_nys)
+        idx_nys = deweighted_resampling(self.keys.next(), weights, n_nys)
+        return x_cand[idx_nys]
+
+    def sampling_candidates(self, n_rec: int, n_nys: int,
+                            verbose: bool = False):
+        """Full pipeline: draw -> update prior -> redraw -> Nystrom subset
+        (SOBER/_sampler.py:263-323)."""
+        assert n_rec > n_nys
+
+        x_cand, xi, weights = self._draw(n_rec)
+        if bool(check_weights(weights, self.thresh)):
+            self.update_prior(xi if xi is not None else x_cand, weights)
+            self.thresh = n_nys
+            out = self.recursive_sampling(n_rec, n_repeat=5)
+        else:
+            out = self.recursive_sampling(n_rec, n_repeat=5)
+            if self.flag:
+                x_cand, weights = out[0], out[-1]
+                self.thresh = self.thresh_initial
+                return x_cand, x_cand[:n_nys], weights
+            xj = out[1] if self.check_categorical() else out[0]
+            self.update_prior(xj, out[-1])
+            self.thresh = n_nys
+            out = self.recursive_sampling(n_rec, n_repeat=5)
+        x_cand, weights = out[0], out[-1]
+        x_nys = self._select_nys(x_cand, weights, n_nys)
+        self.thresh = self.thresh_initial
+        return x_cand, x_nys, weights
+
+    # -- dataset domains -----------------------------------------------------
+
+    def adaptive_pruning(self, weights, n_rec: int, n_nys: int,
+                         thresh: float = 1e-3):
+        """Static top-k pruning (SOBER/_sampler.py:325-349): keep the top
+        n_rec candidates by weight; of those, rows below `thresh` are kept
+        only down to the n_nys floor."""
+        n = weights.shape[0]
+        k = min(n_rec, n)
+        w_top, idx_top = jax.lax.top_k(weights, k)
+        rank = jnp.arange(k)
+        keep = jnp.logical_or(w_top > thresh, rank < n_nys)
+        return idx_top, keep
+
+    def sampling_datasets(self, n_rec: int, n_nys: int,
+                          dataset_pruning: bool = True):
+        """pi over the whole dataset -> prune -> Nystrom subset
+        (SOBER/_sampler.py:351-382). Returns (idx_sampled, X_cand, X_nys,
+        weights); idx_sampled maps pool rows to dataset rows."""
+        assert n_rec > n_nys
+        x_all = self.prior.available_candidates()
+        weights = self.pi(x_all)
+        weights = jnp.where(self.prior.available_mask(), weights, 0.0)
+
+        if dataset_pruning:
+            idx_sampled, keep = self.adaptive_pruning(weights, n_rec, n_nys)
+            x_cand = x_all[idx_sampled]
+            w = jnp.where(keep, weights[idx_sampled], 0.0)
+        else:
+            idx_sampled = jnp.arange(x_all.shape[0])
+            x_cand = x_all
+            w = weights
+
+        w = cleansing_weights(w)
+        idx_nys = deweighted_resampling(self.keys.next(), w, n_nys)
+        x_nys = x_cand[idx_nys]
+        return idx_sampled, x_cand, x_nys, w
+
+
+class MixtureSampler:
+    """pi-WKDE + prior mixture for posterior SIR sampling
+    (SOBER/_sampler.py:384-447)."""
+
+    def __init__(self, prior, sober, ratio_wkde: float = 0.5, seed: int = 0):
+        self.prior = prior
+        self.sober = sober
+        self.bounds = getattr(prior, "bounds", None)
+        self.ratio_wkde = ratio_wkde
+        self.keys = KeyRing(seed)
+
+    def sample(self, key, n_samples: int) -> jax.Array:
+        n_wkde = int(self.ratio_wkde * n_samples)
+        n_prior = n_samples - n_wkde
+        k1, k2 = jax.random.split(key)
+        parts = []
+        if n_wkde:
+            parts.append(self.sober.prior.sample(k1, n_wkde))
+        if n_prior:
+            parts.append(self.prior.sample(k2, n_prior))
+        return jnp.concatenate(parts, axis=0)
+
+    def pdf(self, x) -> jax.Array:
+        return (self.ratio_wkde * self.sober.prior.pdf(x)
+                + (1.0 - self.ratio_wkde) * self.prior.pdf(x))

@@ -1,0 +1,171 @@
+"""The Sober orchestrator: batch Bayesian optimization as batch Bayesian
+quadrature.
+
+Rebuild of SOBER/_sober.py. One `next_batch` call runs the full acquisition
+pipeline: (optional prior reset) -> pi-importance candidate pool -> Nystrom
+subset -> kernel recombination -> batch.
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..gp.exact import GPState
+from .pi import PI
+from .rckernel import RecombinationKernel
+from .sampler import EmpiricalSampler
+
+
+class Sober(EmpiricalSampler):
+    def __init__(self, prior, model, thresh: int = 5,
+                 sampler_type: str = "lfi",
+                 kernel_type: str = "predictive_covariance",
+                 dataset_pruning: bool = True, seed: int = 0):
+        """(SOBER/_sober.py:9-39)
+
+        Args:
+          prior: a prior from sober_tpu.priors
+          model: a fitted GPState, or a model object exposing is_fbgp /
+                 is_bq flags (FBGP / warped-BQ families)
+          thresh: minimum distinct positive weights before the weights are
+                  considered degenerate
+          sampler_type: "lfi" (likelihood-free inference pi)
+          kernel_type: "predictive_covariance" |
+                       "weighted_predictive_covariance" | "kernel"
+          dataset_pruning: prune dataset candidate pools by pi weight
+        """
+        self.sampler_type = sampler_type
+        self.kernel_type = kernel_type
+        self.dataset_pruning = dataset_pruning
+        self.check_model_type(model)
+        pi, kernel = self.initialisation(model)
+        self.n_batches_until_reset = 3
+        self.last_timings: dict[str, float] = {}
+        super().__init__(prior, pi, kernel, thresh=thresh, label=prior.type,
+                         seed=seed)
+
+    # -- model wiring --------------------------------------------------------
+
+    def check_model_type(self, model):
+        """Duck-typed model family sniffing (SOBER/_sober.py:41-54)."""
+        if hasattr(model, "is_fbgp"):
+            self.fbgp, self.is_bq = True, False
+            self.n_init = len(model.fobs)
+        elif hasattr(model, "is_bq"):
+            self.fbgp, self.is_bq = False, True
+            self.n_init = len(model.y_log)
+        else:
+            self.fbgp, self.is_bq = False, False
+            self.n_init = int(model.y.shape[0])
+
+    def initialisation(self, model):
+        """Wire pi and the recombination kernel (SOBER/_sober.py:56-72)."""
+        if self.fbgp:
+            pi = model.make_pi()
+            kernel = model.marginal_predictive_covariance
+        elif self.is_bq:
+            pi = model.make_pi()
+            kernel = model.gspace_kernel
+        else:
+            pi = PI(model, label=self.sampler_type)
+            kernel = RecombinationKernel(model, mode=self.kernel_type)
+        return pi, kernel
+
+    def update_model(self, model):
+        """Swap in a refit model, keeping the learned proposal
+        (SOBER/_sober.py:74-82)."""
+        self.check_model_type(model)
+        pi, kernel = self.initialisation(model)
+        self.pi = pi
+        self.kernel = kernel
+
+    # -- prior reset heuristic ----------------------------------------------
+
+    def _targets(self) -> np.ndarray:
+        if self.fbgp:
+            return np.asarray(self.pi.model.fobs)
+        if self.is_bq:
+            return np.asarray(self.pi.model.y_log)
+        return np.asarray(self.pi.model.y)
+
+    def should_reset_prior(self, batch_size: int,
+                           recycle_prior: bool) -> bool:
+        """Stagnation heuristic: reset the proposal after 3 non-improving
+        batches (SOBER/_sober.py:84-123). Host-side: operates on a handful
+        of scalars."""
+        targets = self._targets()
+        n_targets = len(targets)
+        learning_length = n_targets - self.n_init
+        if learning_length <= 0 or learning_length == batch_size:
+            return False
+        cummax = np.maximum.accumulate(targets)
+        y_max = targets.max()
+        reached = np.flatnonzero(np.diff(cummax >= y_max))
+        idx_max = int(reached[0]) if len(reached) else 0
+        n_iterations = int(np.ceil(learning_length / batch_size))
+        n_batches = 1
+        for n_batches in range(1, n_iterations + 1):
+            if n_batches * batch_size >= idx_max:
+                break
+        n_nonimproved = n_iterations - n_batches + 2
+        if n_nonimproved >= self.n_batches_until_reset:
+            return True
+        if not recycle_prior:
+            return True
+        return False
+
+    # -- main entry ----------------------------------------------------------
+
+    def next_batch(self, n_rec: int, n_nys: int, batch_size: int,
+                   calc_obj=None, return_weights: bool = False,
+                   recycle_prior: bool = True, verbose: bool = False):
+        """Sample the next batch via kernel recombination
+        (SOBER/_sober.py:125-195).
+
+        Returns X_batch (batch_size, d); with return_weights=True returns
+        (w, X_batch); for dataset domains returns (global_indices, X_batch).
+        """
+        t0 = time.monotonic()
+        idx_sampled = None
+        if self.label != "dataset":
+            if self.should_reset_prior(batch_size, recycle_prior):
+                if verbose:
+                    print("The prior was initialised.")
+                self.initialise_prior()
+            x_cand, x_nys, weights = self.sampling_candidates(
+                n_rec, n_nys, verbose=verbose)
+        else:
+            idx_sampled, x_cand, x_nys, weights = self.sampling_datasets(
+                n_rec, n_nys, dataset_pruning=self.dataset_pruning)
+        t1 = time.monotonic()
+
+        if verbose:
+            print(f"--- candidate generation {t1 - t0:.3e} [s]")
+            print("|| summary of sampling ||")
+            print(f" # of recombination samples: {x_cand.shape[0]:.3e}")
+            print(f" # of Nystrom samples: {x_nys.shape[0]:.3e}")
+            print(f" # of nonzero weights: {int((weights > 0).sum()):.3e}")
+            print("--- Start kernel recombination...")
+
+        idx_rchq, w_rchq = self.sampling_recombination(
+            x_cand, x_nys, weights, batch_size, calc_obj=calc_obj)
+        x_batch = x_cand[idx_rchq]
+        t2 = time.monotonic()
+        self.last_timings = {
+            "candidates": t1 - t0,
+            "recombination": t2 - t1,
+            "total": t2 - t0,
+        }
+        if verbose:
+            print(f"--- Finished all tasks {t2 - t0:.3e} [s]")
+
+        if return_weights:
+            return w_rchq, x_batch
+        if self.label == "dataset":
+            idx_global = idx_sampled[idx_rchq]
+            return idx_global, x_batch
+        return x_batch

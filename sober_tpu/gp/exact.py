@@ -42,7 +42,11 @@ class GPConfig(NamedTuple):
     noise_hi: float = 1e-3
     train_lik: bool = True
     standardize_y: bool = True
-    use_priors: bool = True
+    # Gamma hyperpriors (SOBER/_gp.py:57-58) assume unit-cube-normalized
+    # inputs; the reference examples fit a plain RBF without priors
+    # (examples/ackley.py:31-37), so priors are off by default and enabled
+    # by the normalized SoberWrapper path.
+    use_priors: bool = False
     fit_iters: int = 100
     fit_lr: float = 0.1
     mean: str = "zero"  # ZeroMean as in SOBER/_gp.py:18

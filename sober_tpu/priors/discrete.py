@@ -164,6 +164,8 @@ class MixedBinaryPrior(_MixedPrior):
         self.n_dims_binary = n_dims_binary
         super().__init__(Uniform(bounds, seed=seed), BinaryPrior(n_dims_binary),
                          continous_first)
+        # reference attribute name (SOBER/_prior.py:368)
+        self.prior_binary = self.prior_disc
 
 
 class MixedCategoricalPrior(_MixedPrior):

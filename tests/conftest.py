@@ -11,4 +11,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin's sitecustomize force-sets jax_platforms to
+# "axon,cpu" regardless of the env var; pin tests to the CPU mesh unless the
+# suite is explicitly run against hardware.
+if os.environ.get("SOBER_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
 jax.config.update("jax_default_matmul_precision", "highest")

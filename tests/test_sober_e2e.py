@@ -1,0 +1,118 @@
+"""End-to-end batch-BO loops mirroring the reference tutorials/examples.
+
+Reference acceptance behavior: tutorial 00 reaches best value 1.06043e+01 on
+the product-Branin task within 5 batches of 30 (BASELINE.md); these tests
+use smaller pools for CI speed and assert convergence into the optimum's
+neighborhood.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sober_tpu import Sober
+from sober_tpu.gp import fit_gp
+from sober_tpu.utils.prng import KeyRing
+from sober_tpu.tasks.synthetic import (
+    setup_branin,
+    setup_ackley,
+    branin_product,
+    ackley,
+    hartmann6,
+    shekel,
+    rosenbrock,
+)
+
+
+class TestSyntheticFunctions:
+    def test_branin_product_optimum(self):
+        x = jnp.array([[-1.0254, -1.0254]])
+        assert abs(float(branin_product(x)[0]) - 10.6043) < 1e-3
+
+    def test_ackley_max_at_zero(self):
+        assert abs(float(ackley(jnp.zeros((1, 23)))[0])) < 1e-5
+        assert float(ackley(jnp.ones((1, 23)) * 0.5)[0]) < -1e-3
+
+    def test_hartmann6_optimum(self):
+        x_opt = jnp.array([[0.20169, 0.150011, 0.476874, 0.275332, 0.311652,
+                            0.6573]])
+        assert abs(float(hartmann6(x_opt)[0]) - 3.32237) < 1e-4
+
+    def test_shekel_optimum(self):
+        x = jnp.array([[4.0, 4.0, 4.0, 4.0]])
+        assert abs(float(shekel(x)[0]) - 10.5364) < 1e-2
+
+    def test_rosenbrock_max(self):
+        assert abs(float(rosenbrock(jnp.ones((1, 7)))[0])) < 1e-6
+
+
+@pytest.mark.slow
+class TestBraninLoop:
+    def test_converges_to_optimum(self):
+        """Quick-start parity (tutorial 00): n_init=10, batch=30, reaches
+        10.6043 within 5 batches."""
+        keys = KeyRing(0)
+        prior, fn = setup_branin()
+        x = prior.sample(keys.next(), 10)
+        y = fn(x)
+        model = fit_gp(x, y)
+        sober = Sober(prior, model)
+        for _ in range(5):
+            model = fit_gp(x, y)
+            sober.update_model(model)
+            xb = sober.next_batch(4096, 128, 30)
+            assert xb.shape == (30, 2)
+            x = jnp.concatenate([x, xb])
+            y = jnp.concatenate([y, fn(xb)])
+        assert float(y.max()) > 10.55  # optimum 10.6043
+
+
+@pytest.mark.slow
+class TestAckleyMixedLoop:
+    def test_mixed_binary_improves(self):
+        keys = KeyRing(1)
+        prior, fn = setup_ackley()
+        x = prior.sample(keys.next(), 50)
+        y = fn(x)
+        best0 = float(y.max())
+        model = fit_gp(x, y)
+        sober = Sober(prior, model)
+        for _ in range(3):
+            model = fit_gp(x, y)
+            sober.update_model(model)
+            xb = sober.next_batch(1024, 64, 16)
+            assert xb.shape == (16, 23)
+            # binary block must stay binary
+            assert set(np.unique(np.asarray(xb[:, 3:]))).issubset({0.0, 1.0})
+            x = jnp.concatenate([x, xb])
+            y = jnp.concatenate([y, fn(xb)])
+        assert float(y.max()) > best0 + 0.5
+
+
+@pytest.mark.slow
+class TestReturnModesAndReset:
+    def test_return_weights(self):
+        keys = KeyRing(2)
+        prior, fn = setup_branin()
+        x = prior.sample(keys.next(), 30)
+        y = fn(x)
+        model = fit_gp(x, y)
+        sober = Sober(prior, model)
+        w, xb = sober.next_batch(512, 40, 8, return_weights=True)
+        w = np.asarray(w)
+        assert (w >= 0).all() and abs(w.sum() - 1.0) < 1e-3
+
+    def test_prior_reset_heuristic(self):
+        keys = KeyRing(3)
+        prior, fn = setup_branin()
+        x = prior.sample(keys.next(), 30)
+        y = fn(x)
+        model = fit_gp(x, y)
+        sober = Sober(prior, model)
+        # learning_length == 0 -> never reset
+        assert not sober.should_reset_prior(16, True)
+        # recycle_prior=False forces reset once learning started
+        x2 = jnp.concatenate([x, prior.sample(keys.next(), 32)])
+        y2 = fn(x2)
+        sober.update_model(fit_gp(x2, y2))
+        assert sober.should_reset_prior(16, False)
