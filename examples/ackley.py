@@ -1,0 +1,13 @@
+"""Batch BO on mixed Ackley (3 continuous + 20 binary dims).
+
+Mirrors examples/ackley.py of the reference (config: examples/ackley.py:68-72).
+"""
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from sober_tpu.tasks import setup_ackley
+from examples.common import run_bo_loop
+
+if __name__ == "__main__":
+    prior, fn = setup_ackley()
+    run_bo_loop(prior, fn, n_init=100, batch_size=200, n_rec=20000,
+                n_nys=500, n_iterations=15)

@@ -1,0 +1,31 @@
+"""Fully Bayesian GP batch BO on Hartmann6 (tutorial 04 flow):
+FITBO warp -> vmapped hyperposterior sweep -> quadrature distillation ->
+FBGP-marginal SOBER acquisition with MES."""
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import jax, jax.numpy as jnp
+from sober_tpu import Sober
+from sober_tpu.gp import (FitboGP, RBFHyperPrior, sampling_hypers,
+                          quadrature_distillation, FullyBayesianGP,
+                          FBGPAcquisitionFunction)
+from sober_tpu.tasks import setup_hartmann
+from sober_tpu.utils.prng import KeyRing
+
+if __name__ == "__main__":
+    keys = KeyRing(0)
+    prior, fn = setup_hartmann()
+    x_all = prior.sample(keys.next(), 50)
+    y_all = fn(x_all)
+    for it in range(10):
+        gp = FitboGP(x_all, y_all)
+        hypers, lmls = sampling_hypers(gp, RBFHyperPrior(), n_hypers=1000,
+                                       key=keys.next())
+        w_qd, theta_qd = quadrature_distillation(hypers, lmls, n_nys=100,
+                                                 n_qd=50, key=keys.next())
+        fbgp = FullyBayesianGP(gp, w_qd, theta_qd)
+        sober = Sober(prior, fbgp, seed=it)
+        af = FBGPAcquisitionFunction(fbgp, "MES")
+        xb = sober.next_batch(8192, 256, 50, calc_obj=af)
+        x_all = jnp.concatenate([x_all, xb])
+        y_all = jnp.concatenate([y_all, fn(xb)])
+        print(f"{len(x_all)}) best: {float(y_all.max()):.5f} (truth 3.32237)")

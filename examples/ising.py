@@ -1,0 +1,11 @@
+"""Batch BO on Ising sparsification (24 binary edges). Mirrors
+examples/ising.py (n_rec=2e5, examples/ising.py:69)."""
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from sober_tpu.tasks import setup_ising
+from examples.common import run_bo_loop
+
+if __name__ == "__main__":
+    prior, fn = setup_ising()
+    run_bo_loop(prior, fn, n_init=100, batch_size=100, n_rec=200000,
+                n_nys=500, n_iterations=15)

@@ -1,0 +1,11 @@
+"""Batch BO on mixed-categorical Rosenbrock (1 cont + 6 cat x 4).
+Mirrors examples/rosenbrock.py."""
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from sober_tpu.tasks import setup_rosenbrock
+from examples.common import run_bo_loop
+
+if __name__ == "__main__":
+    prior, fn = setup_rosenbrock()
+    run_bo_loop(prior, fn, n_init=100, batch_size=100, n_rec=20000,
+                n_nys=500, n_iterations=15)

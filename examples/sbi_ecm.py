@@ -1,0 +1,35 @@
+"""Simulation-based inference on the 2-RC battery ECM (tutorial 05 flow):
+SOBER acquisition on the discrepancy, then BASQ evidence + posterior."""
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import jax.numpy as jnp
+from sober_tpu import Sober
+from sober_tpu.apps.basq import BASQ
+from sober_tpu.gp import fit_gp
+from sober_tpu.gp.warped import ScaleMmltGP
+from sober_tpu.tasks import setup_ecm_two
+from sober_tpu.utils.prng import KeyRing
+
+if __name__ == "__main__":
+    keys = KeyRing(0)
+    prior, sim = setup_ecm_two()
+    x_all = prior.sample(keys.next(), 100)
+    d_all, ll_all = sim(x_all)
+    model = fit_gp(x_all, d_all)
+    sober = Sober(prior, model)
+    for it in range(10):
+        model = fit_gp(x_all, d_all)
+        sober.update_model(model)
+        xb = sober.next_batch(4096, 256, 50)
+        db, llb = sim(xb)
+        x_all = jnp.concatenate([x_all, xb])
+        d_all = jnp.concatenate([d_all, db])
+        ll_all = jnp.concatenate([ll_all, llb])
+        print(f"{len(x_all)}) best discrepancy: {float(d_all.max()):.4f}")
+    bq_model = ScaleMmltGP(x_all, ll_all)
+    basq = BASQ(prior, bq_model, sober)
+    elml, avlml = basq.quadrature(8192, 256, 64)
+    posterior_samples = basq.sampling_posterior(500)
+    map_est = basq.MAP(2000)
+    print("MAP estimate:", map_est)
+    print("true params:  [ 2.  -0.5 -1.   0.   0.5]")

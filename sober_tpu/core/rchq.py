@@ -72,45 +72,68 @@ def _caratheodory(x: jax.Array, mu: jax.Array, n_elim: int,
     indicator column per masked row, and directions whose singular value is
     not ~0 (i.e. not genuinely null) are skipped.
     """
-    m = x.shape[0]
-    # constraints: x^T phi = 0  AND  phi_i = 0 on masked rows
-    d_block = jnp.diag(1.0 - row_mask)                     # (M, M)
-    a = jnp.concatenate([x, d_block], axis=1)               # (M, p + M)
+    m, p = x.shape
+    active0 = jnp.logical_and(mu > 0, row_mask > 0).astype(x.dtype)
+    # constraints: active-x^T phi = 0 AND phi_i = 0 off the active set
+    a = jnp.concatenate(
+        [x * active0[:, None], jnp.diag(1.0 - active0)], axis=1)
     _, s, vh = jnp.linalg.svd(a.T, full_matrices=True)      # vh: (M, M)
-    phi_mat = vh[m - n_elim:, :].T                          # (M, n_elim)
-    sig = s[m - n_elim:]                                    # matching sigmas
+    # orthonormal null basis, most-null column first; columns whose singular
+    # value is not ~0 are not genuinely null (rank deficiency) — zeroed out,
+    # and Householder deflation below provably never repopulates them
+    n_take = min(n_elim, m)
+    big_n = vh[::-1][:n_take].T                             # (M, n_take)
+    sig = s[::-1][:n_take]
     tol = 1e-5 * jnp.maximum(s[0], 1.0)
-    is_null = sig <= tol                                    # (n_elim,)
-    col_ids = jnp.arange(n_elim)
+    big_n = big_n * (sig <= tol)[None, :].astype(big_n.dtype)
 
     def body(t, carry):
-        mu, phi_mat = carry
-        phi = phi_mat[:, t]
+        mu, nmat, elim = carry
+        phi = nmat[:, 0]
+        # an explicit eliminated mask keeps fp32 deflation residue (~1e-8
+        # leftover support on eliminated rows) from reviving dust weights
+        # that would win the alpha argmin with alpha ~ 0 and waste the
+        # elimination (the reference zeroes Phi rows for the same purpose,
+        # SOBER/_rchq.py:266)
+        mu = mu * (1.0 - elim)
+        active = jnp.logical_and(mu > 0, row_mask > 0)
+        active = jnp.logical_and(active, elim < 0.5)
+        has_norm = jnp.sum(phi * phi) > 1e-10
         # sign-flip recovery: either sign of a null direction is valid
         # (the reference breaks out instead, SOBER/_rchq.py:240-242)
-        has_pos = jnp.any(phi > 0)
-        phi = jnp.where(has_pos, phi, -phi)
-        plis = phi > 0
+        pos = jnp.logical_and(phi > 0, active)
+        phi = jnp.where(jnp.any(pos), phi, -phi)
+        plis = jnp.logical_and(phi > 0, active)
         alpha = jnp.where(plis, mu / jnp.where(plis, phi, 1.0), jnp.inf)
         idx = jnp.argmin(alpha)
         a_min = alpha[idx]
-        valid = jnp.logical_and(jnp.any(plis), jnp.isfinite(a_min))
-        valid = jnp.logical_and(valid, is_null[t])
+        valid = jnp.logical_and(has_norm, jnp.any(plis))
+        valid = jnp.logical_and(valid, jnp.isfinite(a_min))
         mu_new = jnp.maximum(mu - a_min * phi, 0.0)
         mu_new = mu_new.at[idx].set(0.0)
-        mu_new = jnp.where(valid, mu_new, mu)
-        # rank-1 update keeps later columns null while zeroing coordinate
-        # idx (SOBER/_rchq.py:260-266), so eliminated points never re-enter
-        denom = jnp.where(jnp.abs(phi[idx]) > 1e-30, phi[idx], 1.0)
-        corr = phi[:, None] * (phi_mat[idx, :][None, :] / denom)
-        later = (col_ids > t)[None, :]
-        upd = jnp.where(jnp.logical_and(valid, later), phi_mat - corr, phi_mat)
-        row_idx = jnp.where(later[0], 0.0, upd[idx, :])
-        upd = upd.at[idx, :].set(jnp.where(valid, row_idx, upd[idx, :]))
-        return mu_new, upd
+        mu = jnp.where(valid, mu_new, mu)
+        elim = jnp.where(valid, elim.at[idx].set(1.0), elim)
+        # Householder deflation: rotate the basis so column 0 carries ALL of
+        # row idx's null-space support, then drop it — the remaining columns
+        # stay an orthonormal null basis with exact zeros at every
+        # eliminated coordinate. Unlike the reference's rank-1 updates
+        # (SOBER/_rchq.py:260-266) there is no small-pivot division, so
+        # fp32 error does not compound across eliminations.
+        u = nmat[idx, :]
+        unorm = jnp.sqrt(jnp.sum(u * u))
+        sign = jnp.where(u[0] >= 0, 1.0, -1.0)
+        v = u.at[0].add(sign * unorm)
+        vsq = jnp.maximum(jnp.sum(v * v), 1e-30)
+        rotated = nmat - (2.0 / vsq) * jnp.outer(nmat @ v, v)
+        rotated = jnp.where(valid, rotated, nmat)
+        nmat = jnp.concatenate(
+            [rotated[:, 1:], jnp.zeros((m, 1), nmat.dtype)], axis=1)
+        return mu, nmat, elim
 
-    mu, _ = jax.lax.fori_loop(0, n_elim, body, (mu, phi_mat))
-    return mu
+    elim0 = jnp.zeros((m,), x.dtype)
+    mu, _, elim = jax.lax.fori_loop(0, n_take, body, (mu, big_n, elim0))
+    # rows outside the initial measure can only hold fp32 deflation dust
+    return mu * (1.0 - elim) * active0
 
 
 def _null_space_push(feats: jax.Array, mass: jax.Array, obj: jax.Array,
@@ -241,7 +264,9 @@ def _reduce_tree(phi_ext: jax.Array, obj_ext: Optional[jax.Array],
 @partial(jax.jit, static_argnames=("num_pts", "kernel", "calc_obj"))
 def recombination(pts_rec: jax.Array, pts_nys: jax.Array, num_pts: int,
                   kernel: Callable, init_weights: Optional[jax.Array] = None,
-                  calc_obj: Optional[Callable] = None) -> RecombinationResult:
+                  calc_obj: Optional[Callable] = None,
+                  extra_test_rows: Optional[jax.Array] = None
+                  ) -> RecombinationResult:
     """Sparsify a weighted candidate pool to `num_pts` quadrature points.
 
     Args (reference signature: SOBER/_rchq.py:5-31, minus device/dtype which
@@ -253,12 +278,23 @@ def recombination(pts_rec: jax.Array, pts_nys: jax.Array, num_pts: int,
       init_weights: optional (N,) importance weights (default uniform)
       calc_obj: optional callable X -> (N,) acquisition values to be
                 maximized subject to the quadrature constraints
+      extra_test_rows: optional (k, N) function values on the pool to be
+                matched EXACTLY alongside the Nystrom eigenfunctions (k
+                eigenfunction slots are given up for them). Use this to pin
+                the quadrature to a known integrand (e.g. the BQ posterior
+                mean), which keeps evidence estimates exact even when the
+                posterior-covariance kernel is numerically degenerate. No
+                reference analogue — the reference relies on kernel
+                informativeness alone (SOBER/BASQ/_basq.py:59-71).
 
     Returns RecombinationResult(idx (s,), w (s,)): some trailing weights may
     be zero (the reference returns a variable-length list instead).
     """
     n_pool = pts_rec.shape[0]
-    n_test = num_pts - 1
+    n_extra = 0 if extra_test_rows is None else extra_test_rows.shape[0]
+    n_test = num_pts - 1 - n_extra
+    if n_test < 1:
+        raise ValueError("num_pts too small for the extra test rows")
     if pts_nys.shape[0] < num_pts:
         raise ValueError(
             f"n_nys={pts_nys.shape[0]} must be >= num_pts={num_pts}")
@@ -274,8 +310,21 @@ def recombination(pts_rec: jax.Array, pts_nys: jax.Array, num_pts: int,
 
     # the one big MXU matmul: test functions over the whole pool
     phi = u @ kernel(pts_nys, pts_rec)                     # (n_test, N)
+    # global normalization: moment matching is scale-invariant in exact
+    # arithmetic, but when the kernel is nearly degenerate (e.g. a confident
+    # posterior-covariance kernel with values ~1e-8) the rows are numerically
+    # invisible next to the O(1) mass column inside the Caratheodory SVD.
+    # One GLOBAL scale lifts them while preserving the eigenvalue-weighted
+    # priority between test functions (per-row scaling would distort it).
+    phi = phi / jnp.maximum(jnp.max(jnp.abs(phi)), 1e-30)
+    if extra_test_rows is not None:
+        extra = jnp.asarray(extra_test_rows, phi.dtype)
+        extra_scale = jnp.maximum(
+            jnp.max(jnp.abs(extra), axis=1, keepdims=True), 1e-30)
+        phi = jnp.concatenate([phi, extra / extra_scale], axis=0)
+    n_rows = phi.shape[0]                                  # num_pts - 1
     phi_ext = jnp.concatenate(
-        [phi, jnp.zeros((n_test, 1), phi.dtype)], axis=1)  # dummy col
+        [phi, jnp.zeros((n_rows, 1), phi.dtype)], axis=1)  # dummy col
 
     if init_weights is None:
         mu = jnp.full((n_pool,), 1.0 / n_pool, phi.dtype)
@@ -292,7 +341,7 @@ def recombination(pts_rec: jax.Array, pts_nys: jax.Array, num_pts: int,
     else:
         obj_ext = None
 
-    mu_final = _reduce_tree(phi_ext, obj_ext, mu_ext, n_test, n_pool)
+    mu_final = _reduce_tree(phi_ext, obj_ext, mu_ext, n_rows, n_pool)
 
     w_star, idx_star = jax.lax.top_k(mu_final[:n_pool], num_pts)
     return RecombinationResult(idx_star.astype(jnp.int32), w_star)

@@ -77,8 +77,11 @@ class Sober(EmpiricalSampler):
 
     def update_model(self, model):
         """Swap in a refit model, keeping the learned proposal
-        (SOBER/_sober.py:74-82)."""
+        (SOBER/_sober.py:74-82). n_init is pinned at construction — the
+        stagnation heuristic measures progress since then."""
+        n_init = self.n_init
         self.check_model_type(model)
+        self.n_init = n_init
         pi, kernel = self.initialisation(model)
         self.pi = pi
         self.kernel = kernel

@@ -12,20 +12,38 @@ from .exact import (
     predict_mean,
     predictive_covariance,
     posterior_max_mean,
+    mean_value,
+)
+from .warped import ScaleMmltGP, PIBQ
+from .fbgp import (
+    FitboGP,
+    RBFHyperPrior,
+    ScaleVanillaGP,
+    fitbo_mll,
+    sampling_hypers,
+    quadrature_distillation,
+    FullyBayesianGP,
+    FBGPAcquisitionFunction,
+    PIFBGP,
+)
+from .tanimoto import batch_tanimoto_sim, fit_tanimoto_gp
+from .multitask import (
+    MultiTaskGPState,
+    fit_multitask_gp,
+    predict_multitask,
+    sample_multitask,
 )
 
 __all__ = [
-    "GPConfig",
-    "GPParams",
-    "GPState",
-    "init_params",
-    "neg_mll",
-    "fit_params",
-    "build_state",
-    "fit_gp",
-    "predict",
-    "predict_raw",
-    "predict_mean",
-    "predictive_covariance",
-    "posterior_max_mean",
+    "GPConfig", "GPParams", "GPState", "init_params", "neg_mll",
+    "fit_params", "build_state", "fit_gp", "predict", "predict_raw",
+    "predict_mean", "predictive_covariance", "posterior_max_mean",
+    "mean_value",
+    "ScaleMmltGP", "PIBQ",
+    "FitboGP", "RBFHyperPrior", "ScaleVanillaGP", "fitbo_mll",
+    "sampling_hypers", "quadrature_distillation", "FullyBayesianGP",
+    "FBGPAcquisitionFunction", "PIFBGP",
+    "batch_tanimoto_sim", "fit_tanimoto_gp",
+    "MultiTaskGPState", "fit_multitask_gp", "predict_multitask",
+    "sample_multitask",
 ]

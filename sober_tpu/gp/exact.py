@@ -49,13 +49,26 @@ class GPConfig(NamedTuple):
     use_priors: bool = False
     fit_iters: int = 100
     fit_lr: float = 0.1
-    mean: str = "zero"  # ZeroMean as in SOBER/_gp.py:18
+    mean: str = "zero"  # "zero" (SOBER/_gp.py:18) or "parabolic" (BOLFI)
+    # MAP hyperprior parameters (static floats; None -> gpytorch defaults
+    # Gamma(3,6) lengthscale / Gamma(2,0.15) outputscale, SOBER/_gp.py:57-58)
+    ls_prior: Optional[tuple] = None
+    os_prior: Optional[tuple] = None
+    # parabolic-mean Normal priors: ((a_mu...), (a_var...), (b_mu...),
+    # (b_var...), c_mu, c_var) — BOLFI seeds these from a parabolic fit
+    # (SOBER/BOLFI/_gpytorch_bolfi_model.py:389-446)
+    mean_priors: Optional[tuple] = None
 
 
 class GPParams(NamedTuple):
     raw_lengthscale: jax.Array  # scalar or (d,) if ARD
     raw_outputscale: jax.Array
     raw_noise: jax.Array
+    # mean-function parameters; empty dict for the zero mean. For the
+    # parabolic mean: {"raw_a": (d,), "b": (d,), "c": ()} with
+    # a = softplus(raw_a) kept positive (ParabolicMean Positive constraint,
+    # SOBER/BOLFI/_gpytorch_bolfi_model.py:55-57)
+    mean_params: dict = {}
 
 
 class GPState(NamedTuple):
@@ -69,7 +82,8 @@ class GPState(NamedTuple):
     y_mean: jax.Array
     y_std: jax.Array
     chol: jax.Array       # (n, n) lower Cholesky of Kxx + sigma^2 I
-    alpha: jax.Array      # (n,) = (Kxx + sigma^2 I)^-1 y
+    alpha: jax.Array      # (n,) = (Kxx + sigma^2 I)^-1 (y - m(x))
+    mean_params: dict = {}
 
     @property
     def train_x(self):
@@ -113,13 +127,36 @@ def materialize(params: GPParams, cfg: GPConfig) -> tuple[Kernel, jax.Array]:
 
 def init_params(cfg: GPConfig, n_dims: int, dtype=jnp.float32) -> GPParams:
     shape = (n_dims,) if cfg.ard else ()
+    mean_params = {}
+    if cfg.mean == "parabolic":
+        if cfg.mean_priors is not None:
+            a_mu, _, b_mu, _, c_mu, _ = cfg.mean_priors
+            a0 = jnp.maximum(jnp.asarray(a_mu, dtype), 1e-4)
+            b0 = jnp.asarray(b_mu, dtype)
+            c0 = jnp.asarray(c_mu, dtype)
+        else:
+            a0 = jnp.full((n_dims,), 1.0, dtype)
+            b0 = jnp.zeros((n_dims,), dtype)
+            c0 = jnp.zeros((), dtype)
+        mean_params = {"raw_a": _inv_softplus(a0), "b": b0, "c": c0}
     return GPParams(
         raw_lengthscale=jnp.zeros(shape, dtype),          # softplus(0)=0.693
         raw_outputscale=jnp.asarray(_inv_softplus(1.0), dtype),
         raw_noise=jnp.asarray(
             _inv_interval(jnp.sqrt(cfg.noise_lo * cfg.noise_hi),
                           cfg.noise_lo, cfg.noise_hi), dtype),
+        mean_params=mean_params,
     )
+
+
+def mean_value(cfg: GPConfig, mean_params: dict, x: jax.Array) -> jax.Array:
+    """Prior mean m(x). "zero" (SOBER/_gp.py:18) or the BOLFI per-dimension
+    parabola sum_j a_j x_j^2 + b_j x_j + c
+    (ParabolicMean.forward, SOBER/BOLFI/_gpytorch_bolfi_model.py:155-165)."""
+    if cfg.mean == "zero" or not mean_params:
+        return jnp.zeros(x.shape[0], x.dtype)
+    a = _softplus(mean_params["raw_a"])
+    return (x**2) @ a + x @ mean_params["b"] + mean_params["c"]
 
 
 # ----------------------------------------------------------------------------
@@ -131,25 +168,46 @@ def _gamma_logpdf(x, a, b):
         + (a - 1.0) * jnp.log(x) - b * x
 
 
+def _normal_logpdf(x, mu, var):
+    var = jnp.maximum(var, 1e-12)
+    return -0.5 * ((x - mu) ** 2 / var + jnp.log(2 * jnp.pi * var))
+
+
 def neg_mll(params: GPParams, x: jax.Array, y: jax.Array,
             cfg: GPConfig) -> jax.Array:
     """Negative (MAP) marginal log likelihood, normalized per datum as
     gpytorch's ExactMarginalLogLikelihood does."""
     n = x.shape[0]
     kernel, noise = materialize(params, cfg)
+    resid = y - mean_value(cfg, params.mean_params, x)
     k = kernel.gram(x, x) + noise * jnp.eye(n, dtype=x.dtype)
     chol, _ = jitter_cholesky(k)
-    alpha = jax.scipy.linalg.cho_solve((chol, True), y)
-    mll = -0.5 * (y @ alpha) - jnp.sum(jnp.log(jnp.diagonal(chol))) \
+    alpha = jax.scipy.linalg.cho_solve((chol, True), resid)
+    mll = -0.5 * (resid @ alpha) - jnp.sum(jnp.log(jnp.diagonal(chol))) \
         - 0.5 * n * jnp.log(2.0 * jnp.pi)
     if cfg.use_priors:
         # gpytorch GammaPrior(3.0, 6.0) on lengthscale, (2.0, 0.15) on
-        # outputscale (SOBER/_gp.py:57-58)
+        # outputscale (SOBER/_gp.py:57-58), overridable for BOLFI's
+        # data-derived Gamma(ls,1)/Gamma(kvar,1)
+        # (SOBER/BOLFI/_gpytorch_bolfi_model.py:363-388)
+        ls_a, ls_b = cfg.ls_prior or (3.0, 6.0)
+        os_a, os_b = cfg.os_prior or (2.0, 0.15)
         if cfg.kernel_name != "tanimoto":
             ls = _softplus(params.raw_lengthscale)
-            mll = mll + jnp.sum(_gamma_logpdf(ls, 3.0, 6.0))
+            mll = mll + jnp.sum(_gamma_logpdf(ls, ls_a, ls_b))
         os_ = _softplus(params.raw_outputscale)
-        mll = mll + _gamma_logpdf(os_, 2.0, 0.15)
+        mll = mll + _gamma_logpdf(os_, os_a, os_b)
+        if cfg.mean == "parabolic" and cfg.mean_priors is not None:
+            a_mu, a_var, b_mu, b_var, c_mu, c_var = cfg.mean_priors
+            a = _softplus(params.mean_params["raw_a"])
+            mll = mll + jnp.sum(_normal_logpdf(
+                a, jnp.asarray(a_mu), jnp.asarray(a_var)))
+            mll = mll + jnp.sum(_normal_logpdf(
+                params.mean_params["b"], jnp.asarray(b_mu),
+                jnp.asarray(b_var)))
+            mll = mll + _normal_logpdf(
+                params.mean_params["c"], jnp.asarray(c_mu),
+                jnp.asarray(c_var))
     return -mll / n
 
 
@@ -247,10 +305,12 @@ def build_state(params: GPParams, x: jax.Array, y_raw: jax.Array,
     y = (y_raw - y_mean) / y_std
     kernel, noise = materialize(params, cfg)
     n = x.shape[0]
+    resid = y - mean_value(cfg, params.mean_params, x)
     k = kernel.gram(x, x) + noise * jnp.eye(n, dtype=x.dtype)
     chol, _ = jitter_cholesky(k)
-    alpha = jax.scipy.linalg.cho_solve((chol, True), y)
-    return GPState(cfg, kernel, noise, x, y, y_mean, y_std, chol, alpha)
+    alpha = jax.scipy.linalg.cho_solve((chol, True), resid)
+    return GPState(cfg, kernel, noise, x, y, y_mean, y_std, chol, alpha,
+                   params.mean_params)
 
 
 def fit_gp(x: jax.Array, y: jax.Array, cfg: Optional[GPConfig] = None,
@@ -280,7 +340,7 @@ def predict(state: GPState, xq: jax.Array, include_noise: bool = True):
     (reference predict, SOBER/_gp.py:212-238, which returns the likelihood-
     smeared posterior: variance includes observation noise)."""
     kqx = state.kernel.gram(xq, state.x)                 # (m, n)
-    mean = kqx @ state.alpha
+    mean = mean_value(state.config, state.mean_params, xq) + kqx @ state.alpha
     v = solve_triangular(state.chol, kqx.T, lower=True)  # (n, m)
     var = state.kernel.diag(xq) - jnp.sum(v * v, axis=0)
     var = jnp.maximum(var, 1e-12)

@@ -1,0 +1,464 @@
+"""Fully Bayesian GP (FBGP): hyperparameter marginalization without MCMC.
+
+Rebuild of SOBER/FBGP/ (_fitbo.py, _hyperprior.py, _fully_Bayesian_gp.py,
+_scale_vbq.py, _acquisition_function.py). Pipeline:
+
+  1. FitboGP — WSABI square-root-warped GP (g = sign(a) sqrt(2(a - y))).
+  2. RBFHyperPrior — log-normal hyperprior over theta = (eta_excess,
+     noise, lengthscale, outputscale) in log space.
+  3. sampling_hypers — evaluate the FITBO marginal likelihood at ~1000
+     hypersamples. The reference loops in Python, building a fresh gpytorch
+     model per sample (SOBER/FBGP/_fully_Bayesian_gp.py:201); here the LML
+     is a pure function of theta and the sweep is ONE vmapped batched
+     Cholesky — the flagship vmap win of the TPU rebuild.
+  4. quadrature_distillation — RCHQ-compress the 1000 weighted hypersamples
+     to ~10-50 support hypersamples.
+  5. FullyBayesianGP — per-chain conditioned GPs with cached Cholesky
+     factors; batch/marginal prediction is a batched matmul over the chain
+     axis (the reference loops chains in Python,
+     _fully_Bayesian_gp.py:318-321).
+
+Note: the reference FBGP path is bitrotten (Utils(device) TypeError, missing
+dtype arg in quadrature_distillation — SURVEY.md §2 bug list); this rebuild
+implements the intended behavior.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import cho_solve, solve_triangular
+
+from ..ops.kernels import rbf_gram
+from ..utils.linalg import jitter_cholesky, remove_anomalies
+from ..utils.weights import cleansing_weights, deweighted_resampling
+from .exact import GPConfig, GPState, fit_gp, predict, predictive_covariance
+
+EPS_LML = -float(jnp.sqrt(jnp.finfo(jnp.float32).max))
+EPS = float(jnp.finfo(jnp.float32).eps)
+
+
+# ----------------------------------------------------------------------------
+# FitboGP — the WSABI-warped base model (SOBER/FBGP/_fitbo.py)
+# ----------------------------------------------------------------------------
+
+class FitboGP:
+    """WSABI-L/M square-root-warped GP (SOBER/FBGP/_fitbo.py:7-305)."""
+
+    def __init__(self, x_obs, y_obs, kernel_name: str = "rbf",
+                 label: str = "wsabim", alpha_factor: float = 1.0,
+                 lik: float = 1e-10, rng: float = 10.0,
+                 train_lik: bool = False, optimiser: str = "lbfgs",
+                 fit_iters: int = 200):
+        self.label = label
+        self.alpha_factor = alpha_factor
+        self.jitter = 0.0
+        self.cfg = GPConfig(
+            kernel_name=kernel_name, noise_lo=lik / rng, noise_hi=lik * rng,
+            train_lik=train_lik, standardize_y=False, use_priors=False,
+            fit_iters=fit_iters)
+        self.optimiser = optimiser
+        self.Y_unwarp = jnp.asarray(y_obs).reshape(-1)
+        self._refit(jnp.asarray(x_obs), self.Y_unwarp)
+
+    def warp_y(self, y):
+        return jnp.sign(self.alpha) * jnp.sqrt(2.0 * (self.alpha - y))
+
+    def unwarp_y(self, y):
+        return self.alpha - 0.5 * y**2
+
+    def _process_y(self, y):
+        y = remove_anomalies(y)
+        self.alpha = self.alpha_factor * jnp.max(y)
+        return self.warp_y(y)
+
+    def _refit(self, x, y_unwarp):
+        y_warp = self._process_y(y_unwarp)
+        self.model: GPState = fit_gp(x, y_warp, self.cfg,
+                                     optimiser=self.optimiser)
+
+    def update_wsabi_gp(self, x_new, y_new):
+        """(SOBER/FBGP/_fitbo.py:145-164)"""
+        x_all = jnp.concatenate([self.model.x, jnp.asarray(x_new)])
+        self.Y_unwarp = jnp.concatenate(
+            [self.Y_unwarp, jnp.asarray(y_new).reshape(-1)])
+        self._refit(x_all, self.Y_unwarp)
+
+    def retrain_gp(self):
+        self._refit(self.model.x, self.Y_unwarp)
+
+    def memorise_parameters(self):
+        self._memory = (self.model.kernel, self.model.noise)
+
+    def remind_parameters(self):
+        kernel, noise = self._memory
+        self.model = self.model._replace(kernel=kernel, noise=noise)
+
+    # warped-space predictions (SOBER/FBGP/_fitbo.py:254-304)
+    def wsabil_predict(self, x):
+        mu_w, var_w = predict(self.model, x)
+        return self.alpha - 0.5 * mu_w**2, mu_w * var_w * mu_w
+
+    def wsabim_predict(self, x):
+        mu_w, var_w = predict(self.model, x)
+        mu = self.alpha - 0.5 * (mu_w**2 + var_w)
+        var = mu_w * var_w * mu_w + 0.5 * var_w**2
+        return mu, var
+
+    def predict(self, x):
+        return (self.wsabil_predict(x) if self.label == "wsabil"
+                else self.wsabim_predict(x))
+
+    def predict_mean(self, x):
+        return self.predict(x)[0]
+
+    # warped-space kernels (SOBER/FBGP/_fitbo.py:218-252)
+    def wsabil_kernel(self, x, y):
+        mu_x, _ = predict(self.model, x)
+        mu_y, _ = predict(self.model, y)
+        cov = predictive_covariance(self.model, x, y)
+        return mu_x[:, None] * cov * mu_y[None, :]
+
+    def wsabim_kernel(self, x, y):
+        mu_x, _ = predict(self.model, x)
+        mu_y, _ = predict(self.model, y)
+        cov = predictive_covariance(self.model, x, y)
+        return mu_x[:, None] * cov * mu_y[None, :] + 0.5 * cov**2
+
+    def kernel(self, x, y):
+        return (self.wsabil_kernel(x, y) if self.label == "wsabil"
+                else self.wsabim_kernel(x, y))
+
+
+# ----------------------------------------------------------------------------
+# Hyperprior (SOBER/FBGP/_hyperprior.py)
+# ----------------------------------------------------------------------------
+
+class RBFHyperPrior:
+    """Log-normal hyperprior over theta = (eta_excess, noise, lengthscale,
+    outputscale) in log space (SOBER/FBGP/_hyperprior.py:6-83)."""
+
+    def __init__(self, theta_map=None):
+        self.initialise(theta_map)
+
+    def initialise(self, theta_map=None):
+        if theta_map is None:
+            self.hypermu = jnp.array([-2.0, 0.1, 0.1, 0.4])
+            hyperstd = jnp.array([0.7, 1.0, 0.7, 0.7])
+        else:
+            self.hypermu = jnp.concatenate(
+                [jnp.array([-2.0]), jnp.log(jnp.asarray(theta_map))])
+            hyperstd = jnp.full((4,), 0.1)
+        self.hyperstd = hyperstd
+
+    def sample(self, key, n_samples: int) -> jax.Array:
+        z = jax.random.normal(key, (n_samples, 4))
+        return self.hypermu[None, :] + z * self.hyperstd[None, :]
+
+    def logpdf(self, theta) -> jax.Array:
+        z = (theta - self.hypermu[None, :]) / self.hyperstd[None, :]
+        return jnp.sum(-0.5 * z**2 - jnp.log(self.hyperstd)[None, :]
+                       - 0.5 * jnp.log(2 * jnp.pi), axis=1)
+
+    def pdf(self, theta) -> jax.Array:
+        return jnp.exp(self.logpdf(theta))
+
+
+# ----------------------------------------------------------------------------
+# FITBO marginal likelihood as a pure function of theta
+# ----------------------------------------------------------------------------
+
+def _condition_g(x, g, noise, ls, os_):
+    """Condition a zero-mean RBF GP with fixed hypers on (x, g); return the
+    posterior-at-train mean and covariance including observation noise (the
+    likelihood-smeared model(Xobs) of SOBER/FBGP/_fully_Bayesian_gp.py:146-151)."""
+    n = x.shape[0]
+    params = {"lengthscale": ls, "outputscale": os_}
+    kxx = rbf_gram(params, x, x)
+    kn = kxx + noise * jnp.eye(n, dtype=x.dtype)
+    chol, _ = jitter_cholesky(kn)
+    alpha = cho_solve((chol, True), g)
+    mu = kxx @ alpha
+    v = solve_triangular(chol, kxx, lower=True)          # (n, n)
+    cov = kxx - v.T @ v + noise * jnp.eye(n, dtype=x.dtype)
+    return mu, cov
+
+
+def fitbo_mll(theta_log: jax.Array, x: jax.Array, fobs: jax.Array,
+              eta: jax.Array) -> jax.Array:
+    """FITBO marginal log likelihood for one log-space hypersample
+    (LogMarginalLikelihood.mll, SOBER/FBGP/_fully_Bayesian_gp.py:126-161).
+    Pure and vmap-able."""
+    big = jnp.exp(theta_log)
+    eta_h = eta + big[0]
+    noise, ls, os_ = big[1], big[2], big[3]
+    n = x.shape[0]
+
+    gobs = jnp.sign(eta_h) * jnp.sqrt(jnp.maximum(2.0 * (eta_h - fobs), 0.0))
+    mu_g, cov_g = _condition_g(x, gobs, noise, ls, os_)
+    var_g = jnp.diagonal(cov_g)
+
+    mu_f = eta_h - 0.5 * (mu_g**2 + var_g)
+    cov_f = mu_g[:, None] * cov_g * mu_g[None, :] + 0.5 * cov_g**2
+    chol_f, _ = jitter_cholesky(cov_f)
+    diff = fobs - mu_f
+    w = solve_triangular(chol_f, diff, lower=True)
+    ll = (-0.5 * jnp.sum(w**2)
+          - jnp.sum(jnp.log(jnp.diagonal(chol_f)))
+          - 0.5 * n * jnp.log(2.0 * jnp.pi))
+    mll = ll / n
+    return jnp.where(jnp.isfinite(mll), mll, EPS_LML)
+
+
+def sampling_hypers(model: FitboGP, hyperprior: RBFHyperPrior,
+                    n_hypers: int = 1000, key=None, use_map: bool = False):
+    """Evaluate the LML over hypersamples — one vmapped batched Cholesky
+    instead of the reference's 1001-iteration Python loop
+    (SOBER/FBGP/_fully_Bayesian_gp.py:179-203).
+
+    Returns (Hypersamples in ORIGINAL space, LMLs).
+    """
+    if key is None:
+        key = jax.random.key(0)
+    x = model.model.x
+    fobs = model.Y_unwarp
+    eta = model.alpha
+    theta_map = jnp.array([
+        model.model.noise,
+        jnp.asarray(model.model.kernel.params["lengthscale"]).reshape(()),
+        model.model.kernel.params["outputscale"],
+    ])
+    if use_map:
+        hyperprior.initialise(theta_map)
+    samples = hyperprior.sample(key, n_hypers)
+    samples = jnp.vstack([
+        jnp.concatenate([jnp.array([-10.0]), jnp.log(theta_map)])[None, :],
+        samples,
+    ])
+    lmls = jax.jit(jax.vmap(fitbo_mll, in_axes=(0, None, None, None)))(
+        samples, x, fobs, eta)
+    big = jnp.exp(samples)
+    # original-space hypersamples: Theta[0] = eta + exp(theta[0])
+    # (log_to_exp_transform, SOBER/FBGP/_fully_Bayesian_gp.py:112-124)
+    hypersamples = jnp.concatenate([eta + big[:, :1], big[:, 1:]], axis=1)
+    return hypersamples, lmls
+
+
+# ----------------------------------------------------------------------------
+# exp-warped hyper-surrogate (SOBER/FBGP/_scale_vbq.py)
+# ----------------------------------------------------------------------------
+
+class ScaleVanillaGP:
+    """exp-warped vanilla GP on log-likelihood observations
+    (SOBER/FBGP/_scale_vbq.py:7-171)."""
+
+    def __init__(self, x_obs, y_log, kernel_name: str = "rbf",
+                 lik: float = 1e-10, rng: float = 10.0,
+                 train_lik: bool = False, optimiser: str = "lbfgs",
+                 fit_iters: int = 200):
+        self.cfg = GPConfig(
+            kernel_name=kernel_name, noise_lo=lik / rng, noise_hi=lik * rng,
+            train_lik=train_lik, standardize_y=False, use_priors=False,
+            fit_iters=fit_iters)
+        self.optimiser = optimiser
+        self.jitter = 1e-6
+        self.y_log = jnp.asarray(y_log).reshape(-1)
+        y = remove_anomalies(self.y_log)
+        self.beta = jnp.max(y)
+        y_exp = jnp.exp(y - self.beta)
+        self.model: GPState = fit_gp(jnp.asarray(x_obs), y_exp, self.cfg,
+                                     optimiser=self.optimiser)
+
+    def predict(self, x):
+        return predict(self.model, x)
+
+    def predict_mean(self, x):
+        return predict(self.model, x)[0]
+
+    def predictive_kernel(self, x, y):
+        return predictive_covariance(self.model, x, y)
+
+    def prior_kernel(self, x, y):
+        return self.model.kernel.gram(x, y)
+
+
+def quadrature_distillation(hypersamples, lmls, n_nys: int = 100,
+                            n_qd: int = 50, key=None):
+    """RCHQ-compress weighted hypersamples to ~n_qd support points
+    (SOBER/FBGP/_fully_Bayesian_gp.py:205-245).
+
+    Returns (w_qd, Theta_qd).
+    """
+    from ..core.rchq import recombination
+
+    if key is None:
+        key = jax.random.key(1)
+    weights = jnp.exp(lmls - jnp.max(lmls))
+    weights = cleansing_weights(weights)
+    idx_nys = deweighted_resampling(key, weights, n_nys)
+    hyper_nys = hypersamples[idx_nys]
+    vbq = ScaleVanillaGP(hypersamples, lmls)
+    idx, w_qd = recombination(hypersamples, hyper_nys, n_qd,
+                              vbq.prior_kernel, init_weights=weights)
+    return w_qd, hypersamples[idx]
+
+
+# ----------------------------------------------------------------------------
+# FullyBayesianGP (SOBER/FBGP/_fully_Bayesian_gp.py:247-371)
+# ----------------------------------------------------------------------------
+
+class _ChainCache(NamedTuple):
+    chol: jax.Array    # (q, n, n)
+    alpha: jax.Array   # (q, n)
+
+
+class FullyBayesianGP:
+    """Distilled-hyperposterior GP: predictions marginalized over n_qd
+    hypersample chains, each with a cached Cholesky factor."""
+
+    is_fbgp = True
+
+    def __init__(self, gp: FitboGP, w_qd, theta_qd):
+        self.Xobs = gp.model.x
+        self.fobs = gp.Y_unwarp
+        self.eta = gp.alpha
+        self.w_qd = jnp.asarray(w_qd)
+        self.Theta_qd = jnp.asarray(theta_qd)     # (q, 4) ORIGINAL space
+        self._build_caches()
+
+    def _build_caches(self):
+        x, fobs = self.Xobs, self.fobs
+
+        def build(theta):
+            eta_h, noise, ls, os_ = theta[0], theta[1], theta[2], theta[3]
+            gobs = jnp.sign(eta_h) * jnp.sqrt(
+                jnp.maximum(2.0 * (eta_h - fobs), 0.0))
+            params = {"lengthscale": ls, "outputscale": os_}
+            kn = rbf_gram(params, x, x) + noise * jnp.eye(
+                x.shape[0], dtype=x.dtype)
+            chol, _ = jitter_cholesky(kn)
+            alpha = cho_solve((chol, True), gobs)
+            return chol, alpha
+
+        chol, alpha = jax.jit(jax.vmap(build))(self.Theta_qd)
+        self._cache = _ChainCache(chol, alpha)
+
+    def fitbo_predict(self, x_test, theta, chol, alpha):
+        """One chain's f-space posterior (fitbo_predict,
+        SOBER/FBGP/_fully_Bayesian_gp.py:262-289)."""
+        eta_h, noise, ls, os_ = theta[0], theta[1], theta[2], theta[3]
+        params = {"lengthscale": ls, "outputscale": os_}
+        kqx = rbf_gram(params, x_test, self.Xobs)
+        mu_g = kqx @ alpha
+        v = solve_triangular(chol, kqx.T, lower=True)
+        var_g = jnp.maximum(os_ - jnp.sum(v * v, axis=0), 0.0) + noise
+        mu_f = eta_h - 0.5 * (mu_g**2 + var_g)
+        var_f = jnp.maximum(mu_g * var_g * mu_g + 0.5 * var_g**2, 0.0)
+        return mu_f, var_f
+
+    def batch_predict(self, x_test):
+        """(q, m) per-chain predictions — vmapped over chains
+        (SOBER/FBGP/_fully_Bayesian_gp.py:307-323)."""
+        f = jax.vmap(self.fitbo_predict, in_axes=(None, 0, 0, 0))
+        return f(x_test, self.Theta_qd, self._cache.chol, self._cache.alpha)
+
+    def marginal_predict(self, x_test):
+        """(SOBER/FBGP/_fully_Bayesian_gp.py:325-339)"""
+        mu_b, var_b = self.batch_predict(x_test)
+        mu = self.w_qd @ mu_b
+        var = self.w_qd @ (var_b + mu_b**2) - mu**2
+        return mu, var
+
+    def marginal_predictive_mean(self, x_test):
+        return self.w_qd @ self.batch_predict(x_test)[0]
+
+    def marginal_predictive_covariance(self, x_test, y_test):
+        """Weighted sample covariance of chain means
+        (SOBER/FBGP/_fully_Bayesian_gp.py:354-371)."""
+        mu_x, _ = self.batch_predict(x_test)
+        mu_y, _ = self.batch_predict(y_test)
+        ex = self.w_qd @ mu_x
+        ey = self.w_qd @ mu_y
+        w_corr = 1.0 / jnp.maximum(1.0 - jnp.sum(self.w_qd**2), 1e-6)
+        cx = mu_x - ex[None, :]
+        cy = mu_y - ey[None, :]
+        return w_corr * (self.w_qd[:, None] * cx).T @ cy
+
+    def make_pi(self):
+        return PIFBGP(self)
+
+
+class PIFBGP:
+    """Hyperposterior-weighted LFI pi (PI_FBGP, SOBER/_pi.py:58-107)."""
+
+    def __init__(self, model: FullyBayesianGP, label: str = "lfi"):
+        self.model = model
+        self.label = label
+
+    def __call__(self, x_cand, log: bool = False):
+        mu_b, var_b = self.model.batch_predict(x_cand)
+        z = (mu_b - self.model.Theta_qd[:, 0][:, None]) / jnp.sqrt(
+            jnp.maximum(var_b, 1e-30))
+        val = self.model.w_qd @ jax.scipy.special.ndtr(z)
+        if log:
+            return jnp.log(val + EPS)
+        return val
+
+
+class FBGPAcquisitionFunction:
+    """EI / UCB / MES(FITBO) / BQBC / QBMGP over hyperposterior-weighted
+    predictions (SOBER/FBGP/_acquisition_function.py:5-117)."""
+
+    LABELS = ("EI", "UCB", "MES", "BQBC", "QBMGP")
+
+    def __init__(self, model: FullyBayesianGP, label: str = "MES"):
+        if label not in self.LABELS:
+            raise ValueError(
+                f"Acquisition function type should be from {self.LABELS}")
+        self.model = model
+        self.label = label
+
+    def _ei(self, mu_b, var_b):
+        eta = self.model.Theta_qd[:, 0][:, None]
+        sd = jnp.sqrt(jnp.maximum(var_b, 1e-30))
+        z = (mu_b - eta) / sd
+        cdf = jax.scipy.special.ndtr(z)
+        pdf = jnp.exp(-0.5 * z**2) / jnp.sqrt(2 * jnp.pi)
+        return self.model.w_qd @ ((mu_b - eta) * cdf + sd * pdf)
+
+    def _ucb(self, mu_b, var_b):
+        ey = self.model.w_qd @ mu_b
+        vy = self.model.w_qd @ (var_b + mu_b**2) - ey**2
+        return ey + jnp.sqrt(jnp.maximum(vy, 0.0))
+
+    def _fitbo(self, mu_b, var_b):
+        w, theta = self.model.w_qd, self.model.Theta_qd
+        ey = w @ mu_b
+        vary = w @ (var_b + mu_b**2) - ey**2
+        two_pi_e = 2.0 * jnp.pi * jnp.e
+        h1 = 0.5 * jnp.log(two_pi_e * (vary + w @ theta[:, 1]))
+        h2 = 0.5 * (w @ jnp.log(two_pi_e * (var_b + theta[:, 1][:, None])))
+        return h1 - h2
+
+    def _bqbc(self, mu_b):
+        ey = self.model.w_qd @ mu_b
+        return self.model.w_qd @ (mu_b - ey[None, :])
+
+    def _qbmgp(self, mu_b, var_b):
+        ey = self.model.w_qd @ mu_b
+        vy = self.model.w_qd @ (var_b + mu_b**2) - ey**2
+        return vy + self._bqbc(mu_b)
+
+    def __call__(self, x):
+        mu_b, var_b = self.model.batch_predict(x)
+        if self.label == "EI":
+            return self._ei(mu_b, var_b)
+        if self.label == "UCB":
+            return self._ucb(mu_b, var_b)
+        if self.label == "MES":
+            return self._fitbo(mu_b, var_b)
+        if self.label == "BQBC":
+            return self._bqbc(mu_b)
+        return self._qbmgp(mu_b, var_b)

@@ -89,34 +89,33 @@ class Gaussian(BasePrior):
 class TruncatedGaussian(BasePrior):
     """Box-truncated multivariate normal (SOBER/_prior.py:133-184).
 
-    Sampling: iterative rejection from the parent Gaussian with a fixed
-    number of redraw rounds (jittable); any rows still out of bounds after
-    the final round are clipped into the box. The normalization constant
-    P(lo < X < hi) is estimated once with Sobol QMC (2^13 nodes), replacing
-    the reference's scipy Genz integration (SOBER/_prior.py:150-152).
+    Sampling: iterative rejection from the parent Gaussian for
+    high-acceptance boxes; a vectorized Gibbs TMVN chain (priors/tmvn.py)
+    when the box probability is small — the regime the reference's Botev
+    minimax-tilting sampler targets (SOBER/_tmvn.py). The normalization
+    constant P(lo < X < hi) is the Genz QMC box probability
+    (priors/mvn_cdf.py), replacing the reference's scipy integration
+    (SOBER/_prior.py:150-152).
     """
 
     type = "continuous"
 
     def __init__(self, mu, cov, bounds, n_rounds: int = 10,
-                 n_const_nodes: int = 8192):
+                 gibbs_threshold: float = 0.05):
+        from .mvn_cdf import mvn_box_prob
+        from .tmvn import TruncatedMVN
+
         self.mu = jnp.asarray(mu, jnp.float32)
         self.cov = jnp.asarray(cov, jnp.float32)
         self.bounds = jnp.asarray(bounds, jnp.float32)
         self.n_dims = self.mu.shape[0]
         self.chol, _ = jitter_cholesky(self.cov)
         self.n_rounds = n_rounds
-        # QMC estimate of the box probability
-        eng = sobol_engine(self.n_dims, seed=17)
-        u = sobol_sample(eng, 0, n_const_nodes)
-        z = jax.scipy.special.ndtri(jnp.clip(u, 1e-7, 1 - 1e-7))
-        x = self.mu[None, :] + z @ self.chol.T
-        inside = jnp.logical_and(
-            jnp.all(x >= self.bounds[0][None, :], axis=1),
-            jnp.all(x <= self.bounds[1][None, :], axis=1),
-        )
-        self.constant = jnp.maximum(jnp.mean(inside.astype(jnp.float32)),
-                                    1e-8)
+        self.constant = jnp.maximum(
+            mvn_box_prob(self.bounds[0], self.bounds[1], self.mu, self.cov),
+            1e-8)
+        self.tmvn = TruncatedMVN(self.mu, self.cov, self.bounds)
+        self._use_gibbs = bool(self.constant < gibbs_threshold)
 
     def _inside(self, x):
         return jnp.logical_and(
@@ -126,6 +125,8 @@ class TruncatedGaussian(BasePrior):
 
     def sample(self, key, n: int) -> jax.Array:
         lo, hi = self.bounds[0], self.bounds[1]
+        if self._use_gibbs:
+            return self.tmvn.sample(key, n)
 
         def draw(k):
             z = jax.random.normal(k, (n, self.n_dims))

@@ -30,18 +30,31 @@ def symmetrize(a: jax.Array) -> jax.Array:
 
 
 def jitter_cholesky(a: jax.Array, initial_jitter: float = 0.0,
-                    max_tries: int | None = None):
+                    max_tries: int | None = None,
+                    floor_rel: float | None = None):
     """Cholesky with escalating diagonal jitter.
 
     Returns (L, jitter_used). If the factorization still fails after
     `max_tries` escalations, falls back to the diagonal matrix
     (reference fallback: SOBER/_utils.py:154-156).
+
+    `floor_rel` is a relative jitter floor applied unconditionally: in fp32 a
+    near-singular factorization often "succeeds" with garbage pivots instead
+    of failing (e.g. noiseless-BQ kernels with noise 1e-10), so a floor of
+    ~1e-6 x mean(diag) — gpytorch's fp32 cholesky_jitter policy — keeps
+    posterior variances meaningful without changing anything representable
+    at fp32 precision.
     """
     if max_tries is None:
         max_tries = settings().max_psd_iter
     a = symmetrize(jnp.nan_to_num(a))
     n = a.shape[-1]
     eye = jnp.eye(n, dtype=a.dtype)
+    if floor_rel is None:
+        floor_rel = 1e-6 if a.dtype == jnp.float32 else 1e-12
+    diag_scale = jnp.maximum(jnp.mean(jnp.abs(jnp.diagonal(a))), 1e-30)
+    initial_jitter = jnp.maximum(
+        jnp.asarray(initial_jitter, a.dtype), floor_rel * diag_scale)
 
     def find_jitter(a_const):
         """Non-differentiable jitter search (runs under stop_gradient so the

@@ -1,0 +1,175 @@
+"""Tests for the high-level application layer: SoberWrapper, BOLFI,
+InverseModel, ExpectationPropagation."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sober_tpu.apps import SoberWrapper, make_bolfi_model, SOBERUCB, \
+    BoTorchLCBSC
+from sober_tpu.gp import predict
+
+KEY = jax.random.key(0)
+
+
+def quad_model(x, **kwargs):
+    """Global-scope host model (batched rows or single row)."""
+    x = np.atleast_2d(np.asarray(x))
+    return (x**2).sum(axis=1)
+
+
+class TestSoberWrapperCore:
+    def _make(self, **kw):
+        bounds = jnp.array([[-2.0, -2.0], [2.0, 2.0]])
+        defaults = dict(model=quad_model, data=np.zeros(1),
+                        model_initial_samples=20, bounds=bounds,
+                        parallelization=False, seed=0)
+        defaults.update(kw)
+        return SoberWrapper(**defaults)
+
+    def test_init_builds_surrogate(self):
+        w = self._make()
+        assert w.X_all.shape == (20, 2)
+        assert w.Y_all.shape == (20,)
+        assert abs(float(w.Y_all.mean())) < 1e-4  # normalized
+
+    def test_normalize_roundtrip(self):
+        w = self._make()
+        x = jax.random.uniform(KEY, (7, 2))
+        back = w.normalize_input(w.denormalize_input(x))
+        assert np.allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+    def test_transforms(self):
+        import math
+
+        tr = [(lambda x: jnp.log(x), lambda x: jnp.exp(x)), None]
+        bounds = jnp.array([[0.1, -2.0], [10.0, 2.0]])
+        w = SoberWrapper(model=quad_model, data=np.zeros(1),
+                         model_initial_samples=5, bounds=bounds,
+                         transforms=tr, parallelization=False, seed=0)
+        # transformed bounds: [log .1, log 10] for dim 0
+        assert np.isclose(float(w.bounds[0][0]), math.log(0.1), atol=1e-5)
+
+    def test_run_sober_improves(self):
+        w = self._make()
+        # objective = -log||x||: maximized at origin
+        w.run_SOBER(sober_iterations=2, model_samples_per_iteration=8,
+                    surrogate_samples=256, surrogate_effective_samples=32,
+                    verbose=False)
+        assert len(w.results) == 2
+        d = w.results_to_dict()
+        assert len(d["parameters evaluations"]) == 20 + 16
+
+    def test_run_basq_returns_tuple(self):
+        w = self._make()
+        w.run_SOBER(sober_iterations=1, model_samples_per_iteration=8,
+                    surrogate_samples=256, surrogate_effective_samples=32,
+                    verbose=False)
+        samples, map_est, best, elml, avlml = w.run_BASQ(
+            integration_nodes=16, basq_samples=256,
+            basq_effective_samples=32, verbose=False)
+        assert samples.shape[1] == 2
+        assert map_est.shape == (2,)
+        assert np.isfinite(elml)
+
+    def test_gaussian_prior_mode(self):
+        bounds = jnp.array([[-2.0, -2.0], [2.0, 2.0]])
+        w = SoberWrapper(model=quad_model, data=np.zeros(1),
+                         model_initial_samples=10, bounds=bounds,
+                         prior="Gaussian", parallelization=False, seed=0)
+        assert w.X_all.shape == (10, 2)
+
+    def test_custom_objective(self):
+        def custom(batch):
+            obj = -jnp.sum(batch**2, axis=1)
+            return obj, obj * 0.5
+
+        bounds = jnp.array([[-1.0], [1.0]])
+        w = SoberWrapper(custom_objective_and_loglikelihood=custom,
+                         bounds=bounds, model_initial_samples=10,
+                         parallelization=False, seed=0)
+        w.run_SOBER(sober_iterations=1, model_samples_per_iteration=4,
+                    surrogate_samples=128, surrogate_effective_samples=16,
+                    verbose=False)
+        assert len(w.X_all) == 14
+
+
+class TestBolfi:
+    def test_model_fits_parabola(self):
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(0, 1, (30, 2)), jnp.float32)
+        y = jnp.sum((x - 0.5) ** 2, axis=1) * 10.0
+        bounds = jnp.array([[0.0, 0.0], [1.0, 1.0]])
+        state = make_bolfi_model(x, y, bounds)
+        mu, _ = predict(state, x)
+        assert np.corrcoef(np.asarray(mu), np.asarray(y))[0, 1] > 0.95
+        # extrapolation follows the parabola upward, not back to zero mean
+        far = jnp.array([[3.0, 3.0]])
+        mu_far, _ = predict(state, far)
+        assert float(mu_far[0]) > float(y.max())
+
+    def test_soberucb(self):
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(0, 1, (20, 2)), jnp.float32)
+        y = jnp.sum(x, axis=1)
+        bounds = jnp.array([[0.0, 0.0], [1.0, 1.0]])
+        state = make_bolfi_model(x, y, bounds)
+        ucb = SOBERUCB(state, sample_size=20)
+        vals = ucb(x)
+        mu, _ = predict(state, x, include_noise=False)
+        assert (np.asarray(vals) >= np.asarray(mu) - 1e-5).all()
+
+    def test_lcbsc_acquire(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.uniform(0, 1, (25, 2)), jnp.float32)
+        y = jnp.sum((x - 0.3) ** 2, axis=1)
+        bounds = jnp.array([[0.0, 0.0], [1.0, 1.0]])
+        state = make_bolfi_model(x, y, bounds)
+        lcb = BoTorchLCBSC(state, bounds)
+        cands = lcb.acquire(4, t=0, num_restarts=8, polish_steps=10)
+        assert cands.shape == (4, 2)
+        assert (cands >= 0).all() and (cands <= 1).all()
+
+
+class TestInverseModel:
+    def test_flow(self):
+        from sober_tpu.apps.inverse import InverseModel
+
+        def sim(x, **kw):
+            x = np.atleast_2d(np.asarray(x))
+            return np.stack([x[:, 0] + x[:, 1], x[:, 0] - x[:, 1]], axis=1)
+
+        bounds = jnp.array([[-1.0, -1.0], [1.0, 1.0]])
+        inv = InverseModel(model=sim, model_initial_samples=24,
+                           bounds=bounds, parallelization=False, seed=0)
+        assert inv.inverse_model is not None
+        mean, cov, (lo, hi) = inv.evaluate(np.array([[0.5, 0.1]]))
+        assert mean.shape == (1, 2)
+        assert (np.asarray(lo) <= np.asarray(hi)).all()
+        s = inv.sample(np.array([[0.5, 0.1]]), 16)
+        assert s.shape == (16, 1, 2)
+
+
+class TestEP:
+    def test_site_structures(self):
+        from sober_tpu.apps.ep import ExpectationPropagation
+
+        def sim(x, **kw):
+            x = np.atleast_2d(np.asarray(x))
+            return np.stack([x[:, 0], x[:, 1]], axis=1)
+
+        def features(obs):
+            obs = np.asarray(obs)
+            return [obs[..., 0], obs[..., 1]]
+
+        bounds = jnp.array([[-1.0, -1.0], [1.0, 1.0]])
+        ep = ExpectationPropagation(
+            model=sim, data=np.array([0.3, -0.2]),
+            feature_extractor=features, model_initial_samples=10,
+            bounds=bounds, parallelization=False, seed=0)
+        assert ep.feature_dim == 2
+        assert ep.Q.shape == (2, 2)
+        # distance of the current feature only
+        ep.current_feature = 0
+        d = ep.distance_function(np.array([[0.3, 99.0]]))
+        assert float(d[0]) < 1e-6

@@ -1,0 +1,193 @@
+"""Tests for the warped-GP (BASQ) and fully-Bayesian-GP model families."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sober_tpu.gp.warped import ScaleMmltGP, PIBQ
+from sober_tpu.gp.fbgp import (
+    FitboGP,
+    RBFHyperPrior,
+    fitbo_mll,
+    sampling_hypers,
+    quadrature_distillation,
+    FullyBayesianGP,
+    FBGPAcquisitionFunction,
+    PIFBGP,
+)
+
+KEY = jax.random.key(0)
+
+
+def _loglik_data(n=30, seed=0):
+    """A 1-d Gaussian log-likelihood surface."""
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.uniform(-3, 3, (n, 1)), jnp.float32)
+    loglik = -0.5 * (x[:, 0] / 0.7) ** 2  # peak at 0
+    return x, loglik
+
+
+class TestScaleMmlt:
+    def test_warp_roundtrip(self):
+        x, ll = _loglik_data()
+        m = ScaleMmltGP(x, ll)
+        g = m.unwarp_from_h_to_g(m.warp_from_g_to_h(jnp.array([0.3, 1.5])))
+        assert np.allclose(np.asarray(g), [0.3, 1.5], atol=1e-6)
+
+    def test_gspace_predict_recovers_likelihood(self):
+        x, ll = _loglik_data(60)
+        m = ScaleMmltGP(x, ll)
+        mu_g, var_g = m.gspace_predict(x)
+        want = np.exp(np.asarray(ll) - float(m.beta))
+        got = np.asarray(mu_g)
+        assert np.corrcoef(got, want)[0, 1] > 0.99
+
+    def test_gspace_kernel_psd_diag(self):
+        x, ll = _loglik_data(40)
+        m = ScaleMmltGP(x, ll)
+        xq = jnp.linspace(-2, 2, 16).reshape(-1, 1)
+        k = np.asarray(m.gspace_kernel(xq, xq))
+        assert np.allclose(k, k.T, atol=1e-5)
+        assert np.linalg.eigvalsh(k).min() > -1e-4
+
+    def test_pi_bq(self):
+        x, ll = _loglik_data(40)
+        m = ScaleMmltGP(x, ll)
+        pi = PIBQ(m)
+        vals = np.asarray(pi(jnp.linspace(-2, 2, 32).reshape(-1, 1)))
+        assert (vals >= 0).all() and (vals <= 1).all()
+
+    def test_update_appends(self):
+        x, ll = _loglik_data(20)
+        m = ScaleMmltGP(x, ll)
+        m.update(x[:5] + 0.01, ll[:5])
+        assert m.model.x.shape[0] == 25
+        assert m.y_log.shape[0] == 25
+
+
+class TestBASQEvidence:
+    def test_gaussian_evidence(self):
+        """Evidence of N(x;0,0.7^2) likelihood under U(-3,3) prior:
+        Z = (1/6) * integral exp(-x^2/0.98) dx = sqrt(2pi)*0.7/6."""
+        from sober_tpu import Sober
+        from sober_tpu.apps.basq import BASQ
+        from sober_tpu.priors import Uniform
+        from sober_tpu.utils.prng import KeyRing
+
+        keys = KeyRing(0)
+        prior = Uniform(jnp.array([[-3.0], [3.0]]))
+        x = prior.sample(keys.next(), 100)
+        loglik = -0.5 * (x[:, 0] / 0.7) ** 2
+        model = ScaleMmltGP(x, loglik)
+        sober = Sober(prior, model)
+        # build a learned proposal so MixtureSampler works
+        sober.next_batch(512, 64, 8)
+        basq = BASQ(prior, model, sober, verbose=False)
+        elml, avlml = basq.quadrature(2048, 128, 32)
+        truth = np.log(np.sqrt(2 * np.pi) * 0.7 / 6.0)
+        assert abs(elml - truth) < 0.15
+
+        # posterior machinery
+        samples = basq.sampling_posterior(200)
+        assert samples.shape == (200, 1)
+        assert abs(float(samples.mean())) < 0.3  # posterior centered at 0
+        map_est = basq.MAP(500)
+        assert abs(float(map_est[0])) < 0.5
+
+
+class TestFitbo:
+    def test_predict_matches_observations(self):
+        x, ll = _loglik_data(50)
+        y = jnp.exp(ll)  # likelihood values (non-negative)
+        m = FitboGP(x, y)
+        mu, var = m.predict(x)
+        assert np.corrcoef(np.asarray(mu), np.asarray(y))[0, 1] > 0.99
+
+    def test_wsabil_vs_wsabim(self):
+        x, ll = _loglik_data(30)
+        y = jnp.exp(ll)
+        ml = FitboGP(x, y, label="wsabil")
+        mm = FitboGP(x, y, label="wsabim")
+        xq = jnp.linspace(-2, 2, 8).reshape(-1, 1)
+        mu_l, _ = ml.predict(xq)
+        mu_m, _ = mm.predict(xq)
+        assert np.all(np.isfinite(np.asarray(mu_l)))
+        assert np.all(np.isfinite(np.asarray(mu_m)))
+
+
+class TestFBGP:
+    def setup_method(self, _):
+        x, ll = _loglik_data(25, seed=3)
+        self.y = jnp.exp(ll)
+        self.gp = FitboGP(x, self.y)
+
+    def test_fitbo_mll_finite_and_discriminative(self):
+        x = self.gp.model.x
+        theta_good = jnp.log(jnp.array([0.1, 1e-6, 1.0, 1.0]))
+        val = fitbo_mll(theta_good, x, self.gp.Y_unwarp, self.gp.alpha)
+        assert np.isfinite(float(val))
+
+    def test_sampling_hypers_vmapped(self):
+        hp = RBFHyperPrior()
+        hypers, lmls = sampling_hypers(self.gp, hp, n_hypers=64, key=KEY)
+        assert hypers.shape == (65, 4)
+        assert lmls.shape == (65,)
+        assert np.isfinite(np.asarray(lmls)).all()
+        # eta column must exceed max observation
+        assert (np.asarray(hypers[:, 0]) > float(self.y.max()) - 1e-5).all()
+
+    def test_distillation_and_marginal_predict(self):
+        hp = RBFHyperPrior()
+        hypers, lmls = sampling_hypers(self.gp, hp, n_hypers=200, key=KEY)
+        w_qd, theta_qd = quadrature_distillation(hypers, lmls, n_nys=32,
+                                                 n_qd=16)
+        assert (np.asarray(w_qd) >= 0).all()
+        assert abs(float(w_qd.sum()) - 1.0) < 1e-3
+
+        fbgp = FullyBayesianGP(self.gp, w_qd, theta_qd)
+        xq = jnp.linspace(-2, 2, 10).reshape(-1, 1)
+        mu_b, var_b = fbgp.batch_predict(xq)
+        assert mu_b.shape == (16, 10)
+        assert (np.asarray(var_b) >= 0).all()
+        mu, var = fbgp.marginal_predict(xq)
+        assert np.isfinite(np.asarray(mu)).all()
+        assert (np.asarray(var) >= -1e-5).all()
+
+        cov = np.asarray(fbgp.marginal_predictive_covariance(xq, xq))
+        assert np.allclose(cov, cov.T, atol=1e-4)
+
+    def test_acquisitions_and_pi(self):
+        hp = RBFHyperPrior()
+        hypers, lmls = sampling_hypers(self.gp, hp, n_hypers=100, key=KEY)
+        w_qd, theta_qd = quadrature_distillation(hypers, lmls, n_nys=32,
+                                                 n_qd=12)
+        fbgp = FullyBayesianGP(self.gp, w_qd, theta_qd)
+        xq = jnp.linspace(-2, 2, 20).reshape(-1, 1)
+        for label in FBGPAcquisitionFunction.LABELS:
+            af = FBGPAcquisitionFunction(fbgp, label)(xq)
+            assert af.shape == (20,), label
+            assert np.isfinite(np.asarray(af)).all(), label
+        ei = FBGPAcquisitionFunction(fbgp, "EI")(xq)
+        assert (np.asarray(ei) >= -1e-6).all()
+        pi = PIFBGP(fbgp)
+        vals = np.asarray(pi(xq))
+        assert (vals >= 0).all() and (vals <= 1 + 1e-6).all()
+
+    def test_fbgp_with_sober(self):
+        from sober_tpu import Sober
+        from sober_tpu.priors import Uniform
+
+        hp = RBFHyperPrior()
+        hypers, lmls = sampling_hypers(self.gp, hp, n_hypers=100, key=KEY)
+        w_qd, theta_qd = quadrature_distillation(hypers, lmls, n_nys=32,
+                                                 n_qd=12)
+        fbgp = FullyBayesianGP(self.gp, w_qd, theta_qd)
+        prior = Uniform(jnp.array([[-3.0], [3.0]]))
+        sober = Sober(prior, fbgp)
+        assert sober.fbgp
+        xb = sober.next_batch(512, 64, 8)
+        assert xb.shape == (8, 1)
+        # with an FBGP acquisition as calc_obj
+        af = FBGPAcquisitionFunction(fbgp, "UCB")
+        xb2 = sober.next_batch(512, 64, 8, calc_obj=af)
+        assert xb2.shape == (8, 1)

@@ -1,0 +1,109 @@
+"""Tests for Genz MVN CDF and the truncated-MVN Gibbs sampler."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from scipy.stats import multivariate_normal as sp_mvn
+
+from sober_tpu.priors.mvn_cdf import multivariate_normal_cdf, mvn_box_prob
+from sober_tpu.priors.tmvn import TruncatedMVN
+from sober_tpu.priors import TruncatedGaussian
+
+KEY = jax.random.key(0)
+
+
+class TestMvnCdf:
+    @pytest.mark.parametrize("d", [1, 2, 3, 5])
+    def test_matches_scipy(self, d):
+        rng = np.random.default_rng(d)
+        a = rng.normal(size=(d, d))
+        cov = a @ a.T + d * np.eye(d)
+        mu = rng.normal(size=d)
+        b = mu + rng.normal(size=d)
+        want = sp_mvn(mean=mu, cov=cov).cdf(b)
+        got = float(multivariate_normal_cdf(
+            jnp.asarray(b, jnp.float32), jnp.asarray(mu, jnp.float32),
+            jnp.asarray(cov, jnp.float32)))
+        assert abs(got - want) < 1e-4
+
+    def test_gradient_matches_fd(self):
+        rng = np.random.default_rng(0)
+        d = 3
+        a = rng.normal(size=(d, d))
+        cov = jnp.asarray(a @ a.T + d * np.eye(d), jnp.float32)
+        mu = jnp.zeros(d)
+        b = jnp.asarray(rng.normal(size=d), jnp.float32)
+        g = jax.grad(lambda bb: multivariate_normal_cdf(bb, mu, cov))(b)
+        eps = 1e-2
+        for i in range(d):
+            fd = (float(multivariate_normal_cdf(b.at[i].add(eps), mu, cov))
+                  - float(multivariate_normal_cdf(b.at[i].add(-eps), mu,
+                                                  cov))) / (2 * eps)
+            assert abs(float(g[i]) - fd) < 1e-4
+
+    def test_box_prob_vs_mc(self):
+        rng = np.random.default_rng(1)
+        d = 3
+        a = rng.normal(size=(d, d))
+        cov = a @ a.T + np.eye(d)
+        mu = np.zeros(d)
+        lo, hi = -np.ones(d), np.ones(d) * 1.5
+        x = rng.multivariate_normal(mu, cov, size=200000)
+        want = np.mean(((x > lo) & (x < hi)).all(axis=1))
+        got = float(mvn_box_prob(jnp.asarray(lo, jnp.float32),
+                                 jnp.asarray(hi, jnp.float32),
+                                 jnp.asarray(mu, jnp.float32),
+                                 jnp.asarray(cov, jnp.float32)))
+        assert abs(got - want) < 5e-3
+
+
+class TestTMVN:
+    def test_marginal_moments_match_truth(self):
+        """Correlated 2-d TMVN vs brute-force rejection."""
+        rng = np.random.default_rng(0)
+        cov = np.array([[1.0, 0.6], [0.6, 1.0]])
+        mu = np.array([0.5, -0.5])
+        lo, hi = np.array([-0.5, -2.0]), np.array([1.5, 0.5])
+        # ground truth by rejection
+        raw = rng.multivariate_normal(mu, cov, size=400000)
+        keep = raw[((raw > lo) & (raw < hi)).all(axis=1)]
+
+        sampler = TruncatedMVN(mu, cov, np.stack([lo, hi]))
+        s = np.asarray(sampler.sample(KEY, 20000))
+        assert ((s > lo - 1e-5) & (s < hi + 1e-5)).all()
+        assert np.allclose(s.mean(0), keep.mean(0), atol=0.03)
+        assert np.allclose(s.std(0), keep.std(0), atol=0.03)
+        # correlation preserved
+        assert abs(np.corrcoef(s.T)[0, 1] - np.corrcoef(keep.T)[0, 1]) < 0.05
+
+    def test_low_acceptance_region(self):
+        """A box deep in the tail — rejection would nearly always fail."""
+        cov = np.eye(2)
+        mu = np.zeros(2)
+        lo, hi = np.array([3.0, 3.0]), np.array([4.0, 4.0])
+        sampler = TruncatedMVN(mu, cov, np.stack([lo, hi]))
+        s = np.asarray(sampler.sample(KEY, 2000))
+        assert ((s >= 3.0 - 1e-4) & (s <= 4.0 + 1e-4)).all()
+        # mass concentrates at the near corner
+        assert s.mean() < 3.5
+
+
+class TestTruncatedGaussianUpgrade:
+    def test_gibbs_path_selected_for_tail_box(self):
+        mu = jnp.zeros(2)
+        cov = jnp.eye(2)
+        bounds = jnp.array([[2.5, 2.5], [3.5, 3.5]])
+        prior = TruncatedGaussian(mu, cov, bounds)
+        assert prior._use_gibbs
+        x = np.asarray(prior.sample(KEY, 500))
+        assert ((x >= 2.5 - 1e-4) & (x <= 3.5 + 1e-4)).all()
+
+    def test_constant_is_genz_box_prob(self):
+        mu = jnp.zeros(1)
+        cov = jnp.eye(1)
+        bounds = jnp.array([[-1.0], [1.0]])
+        prior = TruncatedGaussian(mu, cov, bounds)
+        from scipy.stats import norm
+
+        want = norm.cdf(1) - norm.cdf(-1)
+        assert abs(float(prior.constant) - want) < 1e-5

@@ -77,8 +77,9 @@ class TestLinalg:
     def test_jitter_cholesky_psd(self):
         a = jnp.array([[2.0, 1.0], [1.0, 2.0]])
         L, j = jitter_cholesky(a)
-        assert np.allclose(np.asarray(L @ L.T), np.asarray(a), atol=1e-5)
-        assert float(j) == 0.0
+        assert np.allclose(np.asarray(L @ L.T), np.asarray(a), atol=1e-4)
+        # only the relative fp32 floor jitter is applied to healthy matrices
+        assert float(j) <= 1e-5
 
     def test_jitter_cholesky_repairs_indefinite(self):
         a = jnp.array([[1.0, 2.0], [2.0, 1.0]])  # eigenvalues 3, -1
