@@ -11,7 +11,7 @@ import time
 import jax.numpy as jnp
 
 from sober_tpu import Sober
-from sober_tpu.gp import fit_gp
+from sober_tpu.gp.exact import fit_gp_padded
 from sober_tpu.utils.prng import KeyRing
 
 
@@ -22,13 +22,15 @@ def run_bo_loop(prior, fn, n_init=100, batch_size=200, n_rec=20000,
     gp_kwargs = gp_kwargs or {}
     x_all = prior.sample(keys.next(), n_init)
     y_all = fn(x_all)
-    model = fit_gp(x_all, y_all, **gp_kwargs)
+    # bucket-padded fit: the compiled GP/acquisition programs are reused
+    # until the observation count crosses a bucket boundary
+    model = fit_gp_padded(x_all, y_all, **gp_kwargs)
     sober = Sober(prior, model, seed=seed)
 
     history = []
     for n_iter in range(n_iterations):
         start = time.monotonic()
-        model = fit_gp(x_all, y_all, **gp_kwargs)
+        model = fit_gp_padded(x_all, y_all, **gp_kwargs)
         sober.update_model(model)
         x_batch = sober.next_batch(n_rec, n_nys, batch_size)
         interval = time.monotonic() - start

@@ -171,13 +171,17 @@ def gibbon(key: jax.Array, model: GPState, prior, n_rec: int,
     info = -0.5 * jnp.mean(jnp.log1p(-jnp.clip(ratio, None, 1 - 1e-6)),
                            axis=0)
 
-    # greedy batch with covariance-based repulsion
+    # greedy batch with covariance-based repulsion; chosen points are also
+    # hard-excluded (the repulsion term vanishes at near-zero-variance
+    # points, which would otherwise be re-picked forever)
     chosen = []
     penalty = jnp.zeros(n_rec)
+    taken = jnp.zeros(n_rec, bool)
     for _ in range(batch_size):
-        score = info - penalty
+        score = jnp.where(taken, -jnp.inf, info - penalty)
         j = int(jnp.argmax(score))
         chosen.append(j)
+        taken = taken.at[j].set(True)
         cov_j = predictive_covariance(model, x_cand,
                                       x_cand[jnp.asarray([j])])[:, 0]
         corr2 = cov_j**2 / jnp.maximum(var * var[j], 1e-30)

@@ -29,6 +29,10 @@ def lfi(state: GPState, eta: jax.Array, x_cand: jax.Array,
     return val
 
 
+_lfi_jit = jax.jit(lfi, static_argnames=("log",))
+_eta_jit = jax.jit(posterior_max_mean)
+
+
 class PI:
     """pi for a standard GP surrogate (SOBER/_pi.py:5-56).
 
@@ -43,7 +47,7 @@ class PI:
                 "branch raises NotImplementedError too, SOBER/_pi.py:51-52)")
         self.model = model
         self.label = label
-        self.eta = posterior_max_mean(model)
+        self.eta = _eta_jit(model)
 
     def __call__(self, x_cand: jax.Array, log: bool = False) -> jax.Array:
-        return lfi(self.model, self.eta, x_cand, log=log)
+        return _lfi_jit(self.model, self.eta, x_cand, log=log)

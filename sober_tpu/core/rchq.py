@@ -261,12 +261,59 @@ def _reduce_tree(phi_ext: jax.Array, obj_ext: Optional[jax.Array],
 # public API
 # ----------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("num_pts", "kernel", "calc_obj"))
+@partial(jax.jit,
+         static_argnames=("num_pts", "kernel_apply", "calc_obj_apply"))
+def _recombination_core(pts_rec, pts_nys, kernel_tree, init_weights,
+                        extra_test_rows, obj_tree, num_pts: int,
+                        kernel_apply, calc_obj_apply):
+    kernel = lambda x, y: kernel_apply(kernel_tree, x, y)
+    calc_obj = (None if calc_obj_apply is None
+                else (lambda x: calc_obj_apply(obj_tree, x)))
+    return _recombination_impl(pts_rec, pts_nys, num_pts, kernel,
+                               init_weights, calc_obj, extra_test_rows)
+
+
 def recombination(pts_rec: jax.Array, pts_nys: jax.Array, num_pts: int,
                   kernel: Callable, init_weights: Optional[jax.Array] = None,
                   calc_obj: Optional[Callable] = None,
                   extra_test_rows: Optional[jax.Array] = None
                   ) -> RecombinationResult:
+    """Public entry. `kernel` (and `calc_obj`) may either be plain callables
+    (closed over their parameters — re-jitted whenever the closure object
+    changes) or expose the stable-callable protocol `rc_apply`/`rc_tree`
+    (a module-level apply function + a parameter pytree), in which case the
+    compiled program is reused across model refits — essential for the BO
+    loop, which builds a fresh kernel adapter every iteration."""
+    if hasattr(kernel, "rc_apply"):
+        k_apply, k_tree = kernel.rc_apply, kernel.rc_tree
+    else:
+        k_apply, k_tree = None, None
+    if calc_obj is not None and hasattr(calc_obj, "rc_apply"):
+        o_apply, o_tree = calc_obj.rc_apply, calc_obj.rc_tree
+    else:
+        o_apply, o_tree = None, None
+
+    if k_apply is not None and (calc_obj is None or o_apply is not None):
+        return _recombination_core(pts_rec, pts_nys, k_tree, init_weights,
+                                   extra_test_rows, o_tree, num_pts,
+                                   k_apply, o_apply)
+    return _recombination_closure(pts_rec, pts_nys, num_pts, kernel,
+                                  init_weights, calc_obj, extra_test_rows)
+
+
+@partial(jax.jit, static_argnames=("num_pts", "kernel", "calc_obj"))
+def _recombination_closure(pts_rec, pts_nys, num_pts: int, kernel,
+                           init_weights, calc_obj, extra_test_rows):
+    return _recombination_impl(pts_rec, pts_nys, num_pts, kernel,
+                               init_weights, calc_obj, extra_test_rows)
+
+
+def _recombination_impl(pts_rec: jax.Array, pts_nys: jax.Array, num_pts: int,
+                        kernel: Callable,
+                        init_weights: Optional[jax.Array] = None,
+                        calc_obj: Optional[Callable] = None,
+                        extra_test_rows: Optional[jax.Array] = None
+                        ) -> RecombinationResult:
     """Sparsify a weighted candidate pool to `num_pts` quadrature points.
 
     Args (reference signature: SOBER/_rchq.py:5-31, minus device/dtype which

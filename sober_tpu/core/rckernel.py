@@ -13,8 +13,35 @@ from ..gp.exact import GPState, predictive_covariance, predict_mean
 MODES = ("predictive_covariance", "weighted_predictive_covariance", "kernel")
 
 
+def _apply_predictive_covariance(model: GPState, x, y):
+    return predictive_covariance(model, x, y)
+
+
+def _apply_weighted_covariance(model: GPState, x, y):
+    mu_x = predict_mean(model, x)
+    mu_y = predict_mean(model, y)
+    cov = predictive_covariance(model, x, y)
+    return mu_x[:, None] * cov * mu_y[None, :]
+
+
+def _apply_prior_kernel(model: GPState, x, y):
+    return model.kernel.gram(x, y)
+
+
+_APPLY = {
+    "predictive_covariance": _apply_predictive_covariance,
+    "weighted_predictive_covariance": _apply_weighted_covariance,
+    "kernel": _apply_prior_kernel,
+}
+
+
 class RecombinationKernel:
-    """Callable Gram adapter (SOBER/_kernel.py:4-47)."""
+    """Callable Gram adapter (SOBER/_kernel.py:4-47).
+
+    Exposes the stable-callable protocol (rc_apply: module-level function,
+    rc_tree: the model pytree) so the jitted recombination program is reused
+    across model refits instead of recompiling per fresh adapter object.
+    """
 
     def __init__(self, model: GPState, mode: str = "predictive_covariance"):
         if mode not in MODES:
@@ -22,12 +49,13 @@ class RecombinationKernel:
         self.model = model
         self.mode = mode
 
+    @property
+    def rc_apply(self):
+        return _APPLY[self.mode]
+
+    @property
+    def rc_tree(self):
+        return self.model
+
     def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
-        if self.mode == "predictive_covariance":
-            return predictive_covariance(self.model, x, y)
-        if self.mode == "weighted_predictive_covariance":
-            mu_x = predict_mean(self.model, x)
-            mu_y = predict_mean(self.model, y)
-            cov = predictive_covariance(self.model, x, y)
-            return mu_x[:, None] * cov * mu_y[None, :]
-        return self.model.kernel.gram(x, y)
+        return self.rc_apply(self.model, x, y)

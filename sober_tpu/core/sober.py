@@ -60,16 +60,21 @@ class Sober(EmpiricalSampler):
             self.n_init = len(model.y_log)
         else:
             self.fbgp, self.is_bq = False, False
-            self.n_init = int(model.y.shape[0])
+            if getattr(model, "mask", None) is not None:
+                self.n_init = int(model.mask.sum())
+            else:
+                self.n_init = int(model.y.shape[0])
 
     def initialisation(self, model):
         """Wire pi and the recombination kernel (SOBER/_sober.py:56-72)."""
         if self.fbgp:
             pi = model.make_pi()
-            kernel = model.marginal_predictive_covariance
+            kernel = (model.rc_kernel() if hasattr(model, "rc_kernel")
+                      else model.marginal_predictive_covariance)
         elif self.is_bq:
             pi = model.make_pi()
-            kernel = model.gspace_kernel
+            kernel = (model.rc_kernel() if hasattr(model, "rc_kernel")
+                      else model.gspace_kernel)
         else:
             pi = PI(model, label=self.sampler_type)
             kernel = RecombinationKernel(model, mode=self.kernel_type)
@@ -93,7 +98,11 @@ class Sober(EmpiricalSampler):
             return np.asarray(self.pi.model.fobs)
         if self.is_bq:
             return np.asarray(self.pi.model.y_log)
-        return np.asarray(self.pi.model.y)
+        y = np.asarray(self.pi.model.y)
+        mask = getattr(self.pi.model, "mask", None)
+        if mask is not None:
+            y = y[np.asarray(mask) > 0]
+        return y
 
     def should_reset_prior(self, batch_size: int,
                            recycle_prior: bool) -> bool:

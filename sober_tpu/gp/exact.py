@@ -77,13 +77,17 @@ class GPState(NamedTuple):
     config: GPConfig
     kernel: Kernel
     noise: jax.Array
-    x: jax.Array          # (n, d) observed inputs
+    x: jax.Array          # (n, d) observed inputs (possibly padded)
     y: jax.Array          # (n,) standardized targets
     y_mean: jax.Array
     y_std: jax.Array
     chol: jax.Array       # (n, n) lower Cholesky of Kxx + sigma^2 I
     alpha: jax.Array      # (n,) = (Kxx + sigma^2 I)^-1 (y - m(x))
     mean_params: dict = {}
+    # 1.0 for real rows / 0.0 for padding rows of a fixed-size observation
+    # buffer; None when unpadded. Padding keeps compiled shapes stable while
+    # the BO loop appends observations.
+    mask: Optional[jax.Array] = None
 
     @property
     def train_x(self):
@@ -173,17 +177,39 @@ def _normal_logpdf(x, mu, var):
     return -0.5 * ((x - mu) ** 2 / var + jnp.log(2 * jnp.pi * var))
 
 
-def neg_mll(params: GPParams, x: jax.Array, y: jax.Array,
-            cfg: GPConfig) -> jax.Array:
-    """Negative (MAP) marginal log likelihood, normalized per datum as
-    gpytorch's ExactMarginalLogLikelihood does."""
+def _masked_gram(kernel, noise, x, mask):
+    """Kxx + noise*I with padding rows replaced by unit diagonal rows, so a
+    fixed-size buffer can hold a growing observation set without
+    recompilation (padding contributes 0 to the MLL and predictions)."""
     n = x.shape[0]
+    k = kernel.gram(x, x)
+    if mask is not None:
+        mm = mask[:, None] * mask[None, :]
+        k = k * mm
+        pad_diag = jnp.diag(1.0 - mask)
+        return k + noise * jnp.diag(mask) + pad_diag
+    return k + noise * jnp.eye(n, dtype=x.dtype)
+
+
+def neg_mll(params: GPParams, x: jax.Array, y: jax.Array,
+            cfg: GPConfig, mask: Optional[jax.Array] = None) -> jax.Array:
+    """Negative (MAP) marginal log likelihood, normalized per datum as
+    gpytorch's ExactMarginalLogLikelihood does. `mask` marks real rows in a
+    padded observation buffer (1 real / 0 padding)."""
     kernel, noise = materialize(params, cfg)
     resid = y - mean_value(cfg, params.mean_params, x)
-    k = kernel.gram(x, x) + noise * jnp.eye(n, dtype=x.dtype)
+    if mask is not None:
+        resid = resid * mask
+        n = jnp.sum(mask)
+    else:
+        n = x.shape[0]
+    k = _masked_gram(kernel, noise, x, mask)
     chol, _ = jitter_cholesky(k)
     alpha = jax.scipy.linalg.cho_solve((chol, True), resid)
-    mll = -0.5 * (resid @ alpha) - jnp.sum(jnp.log(jnp.diagonal(chol))) \
+    logdiag = jnp.log(jnp.diagonal(chol))
+    if mask is not None:
+        logdiag = logdiag * mask
+    mll = -0.5 * (resid @ alpha) - jnp.sum(logdiag) \
         - 0.5 * n * jnp.log(2.0 * jnp.pi)
     if cfg.use_priors:
         # gpytorch GammaPrior(3.0, 6.0) on lengthscale, (2.0, 0.15) on
@@ -215,11 +241,12 @@ def neg_mll(params: GPParams, x: jax.Array, y: jax.Array,
 # fitting
 # ----------------------------------------------------------------------------
 
-def _fit_adam(params0: GPParams, x, y, cfg: GPConfig) -> GPParams:
+def _fit_adam(params0: GPParams, x, y, cfg: GPConfig,
+              mask=None) -> GPParams:
     """Fixed-iteration Adam with best-iterate tracking
     (reference: train_GP_with_Adam, SOBER/_gp.py:128-155)."""
     opt = optax.adam(cfg.fit_lr)
-    loss_fn = lambda p: neg_mll(p, x, y, cfg)
+    loss_fn = lambda p: neg_mll(p, x, y, cfg, mask)
 
     def step(carry, _):
         params, opt_state, best_loss, best_params = carry
@@ -247,10 +274,11 @@ def _fit_adam(params0: GPParams, x, y, cfg: GPConfig) -> GPParams:
         lambda f, b: jnp.where(take_final, f, b), params, best_params)
 
 
-def _fit_lbfgs(params0: GPParams, x, y, cfg: GPConfig) -> GPParams:
+def _fit_lbfgs(params0: GPParams, x, y, cfg: GPConfig,
+               mask=None) -> GPParams:
     """L-BFGS with zoom linesearch (the "BoTorch" path of
     SOBER/_gp.py:174-175, which fits MAP-MLL with scipy L-BFGS-B)."""
-    loss_fn = lambda p: neg_mll(p, x, y, cfg)
+    loss_fn = lambda p: neg_mll(p, x, y, cfg, mask)
     opt = optax.lbfgs()
     value_and_grad = optax.value_and_grad_from_state(loss_fn)
 
@@ -272,63 +300,85 @@ def _fit_lbfgs(params0: GPParams, x, y, cfg: GPConfig) -> GPParams:
 
 def fit_params(x: jax.Array, y: jax.Array, cfg: GPConfig,
                params0: Optional[GPParams] = None,
-               optimiser: str = "lbfgs") -> GPParams:
+               optimiser: str = "lbfgs",
+               mask: Optional[jax.Array] = None) -> GPParams:
     """Optimiser ladder: L-BFGS, falling back to Adam on non-finite results
     (SOBER/_gp.py:173-186)."""
     if params0 is None:
         params0 = init_params(cfg, x.shape[1], x.dtype)
     if optimiser == "adam":
-        return _fit_adam(params0, x, y, cfg)
-    p_lbfgs = _fit_lbfgs(params0, x, y, cfg)
-    loss = neg_mll(p_lbfgs, x, y, cfg)
+        return _fit_adam(params0, x, y, cfg, mask)
+    p_lbfgs = _fit_lbfgs(params0, x, y, cfg, mask)
+    loss = neg_mll(p_lbfgs, x, y, cfg, mask)
     ok = jnp.isfinite(loss)
 
     def take_lbfgs(_):
         return p_lbfgs
 
     def run_adam(_):
-        return _fit_adam(params0, x, y, cfg)
+        return _fit_adam(params0, x, y, cfg, mask)
 
     return jax.lax.cond(ok, take_lbfgs, run_adam, None)
 
 
+def _masked_stats(y_raw, mask):
+    if mask is None:
+        return jnp.mean(y_raw), jnp.maximum(jnp.std(y_raw, ddof=1), 1e-12)
+    n = jnp.maximum(jnp.sum(mask), 2.0)
+    mean = jnp.sum(y_raw * mask) / n
+    var = jnp.sum(((y_raw - mean) * mask) ** 2) / (n - 1.0)
+    return mean, jnp.maximum(jnp.sqrt(var), 1e-12)
+
+
 def build_state(params: GPParams, x: jax.Array, y_raw: jax.Array,
-                cfg: GPConfig) -> GPState:
+                cfg: GPConfig, mask: Optional[jax.Array] = None) -> GPState:
     """Materialize the prediction cache for fitted params."""
     y_raw = y_raw.reshape(-1)
     if cfg.standardize_y:
-        y_mean = jnp.mean(y_raw)
-        y_std = jnp.maximum(jnp.std(y_raw, ddof=1), 1e-12)
+        y_mean, y_std = _masked_stats(y_raw, mask)
     else:
         y_mean = jnp.zeros((), y_raw.dtype)
         y_std = jnp.ones((), y_raw.dtype)
     y = (y_raw - y_mean) / y_std
     kernel, noise = materialize(params, cfg)
-    n = x.shape[0]
     resid = y - mean_value(cfg, params.mean_params, x)
-    k = kernel.gram(x, x) + noise * jnp.eye(n, dtype=x.dtype)
+    if mask is not None:
+        resid = resid * mask
+        y = y * mask
+    k = _masked_gram(kernel, noise, x, mask)
     chol, _ = jitter_cholesky(k)
     alpha = jax.scipy.linalg.cho_solve((chol, True), resid)
     return GPState(cfg, kernel, noise, x, y, y_mean, y_std, chol, alpha,
-                   params.mean_params)
+                   params.mean_params, mask)
+
+
+@partial(jax.jit, static_argnames=("cfg", "optimiser"))
+def _fit_gp_jit(x, y, mask, cfg: GPConfig, optimiser: str) -> GPState:
+    y = y.reshape(-1)
+    if cfg.standardize_y:
+        m, sd = _masked_stats(y, mask)
+        y_std_scale = (y - m) / sd
+        if mask is not None:
+            y_std_scale = y_std_scale * mask
+    else:
+        y_std_scale = y
+    params = fit_params(x, y_std_scale, cfg, optimiser=optimiser, mask=mask)
+    return build_state(params, x, y, cfg, mask=mask)
 
 
 def fit_gp(x: jax.Array, y: jax.Array, cfg: Optional[GPConfig] = None,
-           optimiser: str = "lbfgs", **cfg_kwargs) -> GPState:
+           optimiser: str = "lbfgs", mask: Optional[jax.Array] = None,
+           **cfg_kwargs) -> GPState:
     """One-call GP fit (reference update_gp, SOBER/_gp.py:189-209).
 
     Standardizes y (as examples/ackley.py:35 does), MAP-fits hypers on the
-    standardized scale, and returns the fitted GPState with caches.
+    standardized scale, and returns the fitted GPState with caches. The
+    whole fit is ONE cached jitted program keyed on (cfg, optimiser) and
+    the data shapes — refitting in a BO loop reuses the compiled program.
     """
     if cfg is None:
         cfg = GPConfig(**cfg_kwargs)
-    y = y.reshape(-1)
-    if cfg.standardize_y:
-        y_std_scale = (y - jnp.mean(y)) / jnp.maximum(jnp.std(y, ddof=1), 1e-12)
-    else:
-        y_std_scale = y
-    params = fit_params(x, y_std_scale, cfg, optimiser=optimiser)
-    return build_state(params, x, y, cfg)
+    return _fit_gp_jit(x, jnp.asarray(y), mask, cfg, optimiser)
 
 
 # ----------------------------------------------------------------------------
@@ -340,6 +390,8 @@ def predict(state: GPState, xq: jax.Array, include_noise: bool = True):
     (reference predict, SOBER/_gp.py:212-238, which returns the likelihood-
     smeared posterior: variance includes observation noise)."""
     kqx = state.kernel.gram(xq, state.x)                 # (m, n)
+    if state.mask is not None:
+        kqx = kqx * state.mask[None, :]
     mean = mean_value(state.config, state.mean_params, xq) + kqx @ state.alpha
     v = solve_triangular(state.chol, kqx.T, lower=True)  # (n, m)
     var = state.kernel.diag(xq) - jnp.sum(v * v, axis=0)
@@ -370,6 +422,9 @@ def predictive_covariance(state: GPState, x: jax.Array,
     kxy = state.kernel.gram(x, y)
     kxX = state.kernel.gram(x, state.x)
     kXy = state.kernel.gram(state.x, y)
+    if state.mask is not None:
+        kxX = kxX * state.mask[None, :]
+        kXy = kXy * state.mask[:, None]
     a = solve_triangular(state.chol, kxX.T, lower=True)   # (n, |x|)
     b = solve_triangular(state.chol, kXy, lower=True)     # (n, |y|)
     return kxy - a.T @ b
@@ -379,4 +434,33 @@ def posterior_max_mean(state: GPState) -> jax.Array:
     """eta = max posterior mean over the training inputs
     (reference PI.__init__, SOBER/_pi.py:17)."""
     mean, _ = predict(state, state.x)
+    if state.mask is not None:
+        mean = jnp.where(state.mask > 0, mean, -jnp.inf)
     return jnp.max(mean)
+
+
+def pad_observations(x: jax.Array, y: jax.Array, bucket: int = 128):
+    """Pad (x, y) to the next multiple of `bucket` rows; returns
+    (x_pad, y_pad, mask). Buckets keep the compiled GP-fit/predict shapes
+    stable while the BO loop grows the observation set (the reference
+    refits a fresh torch model per iteration and never pays compilation;
+    XLA does — this is the amortization)."""
+    n = x.shape[0]
+    n_pad = ((n + bucket - 1) // bucket) * bucket
+    pad = n_pad - n
+    x_pad = jnp.concatenate([x, jnp.zeros((pad, x.shape[1]), x.dtype)])
+    y_pad = jnp.concatenate([y.reshape(-1), jnp.zeros((pad,), y.dtype)])
+    mask = jnp.concatenate([jnp.ones((n,), x.dtype),
+                            jnp.zeros((pad,), x.dtype)])
+    return x_pad, y_pad, mask
+
+
+def fit_gp_padded(x: jax.Array, y: jax.Array,
+                  cfg: Optional[GPConfig] = None,
+                  optimiser: str = "lbfgs", bucket: int = 128,
+                  **cfg_kwargs) -> GPState:
+    """fit_gp on a bucket-padded observation buffer: recompilation happens
+    only when n crosses a bucket boundary instead of every iteration."""
+    x_pad, y_pad, mask = pad_observations(x, jnp.asarray(y), bucket)
+    return fit_gp(x_pad, y_pad, cfg, optimiser=optimiser, mask=mask,
+                  **cfg_kwargs)

@@ -389,6 +389,56 @@ class FullyBayesianGP:
     def make_pi(self):
         return PIFBGP(self)
 
+    def rc_kernel(self):
+        """Marginal predictive covariance with the stable-callable protocol
+        (core/rchq.py:recombination)."""
+        return _RCFbgpKernel(
+            (self.Xobs, self.Theta_qd, self._cache.chol, self._cache.alpha,
+             self.w_qd))
+
+
+def _fbgp_chain_mu(tree, x_test):
+    x_obs, theta_qd, chol, alpha, w_qd = tree
+
+    def one(theta, chol_i, alpha_i):
+        eta_h, noise, ls, os_ = theta[0], theta[1], theta[2], theta[3]
+        params = {"lengthscale": ls, "outputscale": os_}
+        kqx = rbf_gram(params, x_test, x_obs)
+        mu_g = kqx @ alpha_i
+        v = solve_triangular(chol_i, kqx.T, lower=True)
+        var_g = jnp.maximum(os_ - jnp.sum(v * v, axis=0), 0.0) + noise
+        return eta_h - 0.5 * (mu_g**2 + var_g)
+
+    return jax.vmap(one)(theta_qd, chol, alpha)
+
+
+def _fbgp_cov_apply(tree, x, y):
+    """Weighted sample covariance of chain means
+    (SOBER/FBGP/_fully_Bayesian_gp.py:354-371) as a pure function."""
+    w_qd = tree[4]
+    mu_x = _fbgp_chain_mu(tree, x)
+    mu_y = _fbgp_chain_mu(tree, y)
+    ex = w_qd @ mu_x
+    ey = w_qd @ mu_y
+    w_corr = 1.0 / jnp.maximum(1.0 - jnp.sum(w_qd**2), 1e-6)
+    cx = mu_x - ex[None, :]
+    cy = mu_y - ey[None, :]
+    return w_corr * (w_qd[:, None] * cx).T @ cy
+
+
+class _RCFbgpKernel:
+    def __init__(self, tree):
+        self.tree = tree
+
+    rc_apply = staticmethod(_fbgp_cov_apply)
+
+    @property
+    def rc_tree(self):
+        return self.tree
+
+    def __call__(self, x, y):
+        return _fbgp_cov_apply(self.tree, x, y)
+
 
 class PIFBGP:
     """Hyperposterior-weighted LFI pi (PI_FBGP, SOBER/_pi.py:58-107)."""

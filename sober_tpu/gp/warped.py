@@ -129,6 +129,34 @@ class ScaleMmltGP:
     def make_pi(self):
         return PIBQ(self)
 
+    def rc_kernel(self):
+        """g-space kernel with the stable-callable protocol (see
+        core/rchq.py:recombination) so refits reuse the compiled program."""
+        return _RCGspaceKernel(self.model)
+
+
+def _gspace_apply(state: GPState, x, y):
+    mu_h_x, var_h_x = predict(state, x)
+    mu_h_y, var_h_y = predict(state, y)
+    mu_g_x = jnp.exp(mu_h_x + 0.5 * var_h_x) - 1.0
+    mu_g_y = jnp.exp(mu_h_y + 0.5 * var_h_y) - 1.0
+    cov_h = predictive_covariance(state, x, y)
+    return mu_g_x[:, None] * mu_g_y[None, :] * (jnp.exp(cov_h) - 1.0)
+
+
+class _RCGspaceKernel:
+    def __init__(self, state: GPState):
+        self.state = state
+
+    rc_apply = staticmethod(_gspace_apply)
+
+    @property
+    def rc_tree(self):
+        return self.state
+
+    def __call__(self, x, y):
+        return _gspace_apply(self.state, x, y)
+
 
 class PIBQ:
     """pi for BQ models: LFI against the g-space threshold 1

@@ -7,10 +7,13 @@ compiles into one XLA program.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 
+@partial(jax.jit, static_argnames=("n_clusters", "n_iter"))
 def kmeans(x: jax.Array, n_clusters: int, n_iter: int = 10):
     """Returns (labels, centroids).
 

@@ -1,0 +1,127 @@
+"""Explicitly sharded compute paths for multi-chip scaling.
+
+Two complementary mechanisms (SURVEY.md §5.7-5.8):
+
+  1. GSPMD auto-partitioning: annotate candidate pools with
+     NamedSharding(mesh, P("cand", None)) and jit the standard functions
+     (parallel/mesh.py + core/fused.py) — XLA inserts the collectives.
+  2. shard_map versions below: the candidate-axis math written with
+     EXPLICIT per-shard blocks and collectives, for cases where manual
+     scheduling beats GSPMD (very large pools where the (n_test, n_rec)
+     feature strip must never materialize unsharded) and as the blueprint
+     of the communication pattern: pi evaluation is embarrassingly
+     parallel; the Nystrom feature matmul is a block-row matmul; the
+     barycenter reduction is a per-shard partial sum + psum over ICI.
+
+The FBGP hypersample axis ("hyper") is embarrassingly parallel and shards
+the per-chain Cholesky caches.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..gp.exact import GPState, predict, predictive_covariance
+from ..core.pi import lfi
+from ..utils.weights import cleansing_weights
+
+
+def sharded_pi_weights(mesh: Mesh, state: GPState, eta: jax.Array,
+                       x_cand: jax.Array, prior_pdf: jax.Array,
+                       axis: str = "cand") -> jax.Array:
+    """pi-importance weights with the candidate axis sharded over `axis`.
+
+    Each device computes pi on its block; the weight normalization is a
+    psum over ICI.
+    """
+    from ..config import settings
+
+    eps = settings().eps_weights
+
+    def block(state, eta, x_blk, pdf_blk):
+        pi_vals = lfi(state, eta, x_blk)
+        w = pi_vals / jnp.maximum(pdf_blk, 1e-38)
+        # mirror cleansing_weights semantics (utils/weights.py)
+        w = jnp.where(w < eps, 0.0, w)
+        w = jnp.where(jnp.isfinite(w), w, eps)
+        total = jax.lax.psum(jnp.sum(w), axis)
+        n = jax.lax.psum(jnp.asarray(w.shape[0], w.dtype), axis)
+        safe = jnp.where(total > 0, total, 1.0)
+        return jnp.where(total > 0, w / safe, jnp.full_like(w, 1.0) / n)
+
+    fn = shard_map(
+        block, mesh=mesh,
+        in_specs=(P(), P(), P(axis, None), P(axis)),
+        out_specs=P(axis),
+    )
+    return fn(state, eta, x_cand, prior_pdf)
+
+
+def sharded_nystrom_features(mesh: Mesh, state: GPState, u: jax.Array,
+                             x_nys: jax.Array, x_cand: jax.Array,
+                             axis: str = "cand") -> jax.Array:
+    """Phi = U @ k_post(X_nys, X_cand) with the candidate axis sharded:
+    each device forms its (n_test, block) strip; the result stays sharded
+    on its second axis (no all-gather until the small reduction tree)."""
+    def block(state, u, x_nys, x_blk):
+        return u @ predictive_covariance(state, x_nys, x_blk)
+
+    fn = shard_map(
+        block, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis, None)),
+        out_specs=P(None, axis),
+    )
+    return fn(state, u, x_nys, x_cand)
+
+
+def sharded_barycenter_sums(mesh: Mesh, phi_sharded: jax.Array,
+                            weights: jax.Array, group_ids: jax.Array,
+                            n_groups: int, axis: str = "cand") -> jax.Array:
+    """Per-group weighted feature sums across a sharded candidate axis:
+    partial segment-sums per shard, combined with one psum over ICI —
+    the communication pattern of each halving round's barycenter
+    compression (SURVEY.md §5.7)."""
+    def block(phi_blk, w_blk, gid_blk):
+        # phi_blk: (n_test, blk); contribution of this shard to each group
+        weighted = phi_blk * w_blk[None, :]
+        partial = jax.ops.segment_sum(weighted.T, gid_blk,
+                                      num_segments=n_groups)  # (G, n_test)
+        return jax.lax.psum(partial, axis)
+
+    fn = shard_map(
+        block, mesh=mesh,
+        in_specs=(P(None, axis), P(axis), P(axis)),
+        out_specs=P(),
+    )
+    return fn(phi_sharded, weights, group_ids)
+
+
+def sharded_fbgp_batch_predict(mesh: Mesh, fbgp, x_test: jax.Array,
+                               axis: str = "hyper"):
+    """FBGP chain predictions with the hypersample axis sharded: each device
+    owns a block of chains (and their Cholesky caches); the hyperposterior-
+    weighted marginal is a psum (SURVEY.md §5.8c)."""
+    theta = fbgp.Theta_qd
+    chol = fbgp._cache.chol
+    alpha = fbgp._cache.alpha
+    w_qd = fbgp.w_qd
+
+    def block(theta_blk, chol_blk, alpha_blk, w_blk, x_test):
+        f = jax.vmap(fbgp.fitbo_predict, in_axes=(None, 0, 0, 0))
+        mu_b, var_b = f(x_test, theta_blk, chol_blk, alpha_blk)
+        mu = jax.lax.psum(w_blk @ mu_b, axis)
+        e2 = jax.lax.psum(w_blk @ (var_b + mu_b**2), axis)
+        return mu, e2 - mu**2
+
+    fn = shard_map(
+        block, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None, None), P(axis, None),
+                  P(axis), P()),
+        out_specs=(P(), P()),
+    )
+    return fn(theta, chol, alpha, w_qd, x_test)

@@ -5,6 +5,10 @@ is refit every batch from the importance weights and becomes the continuous
 prior for the next candidate pool.
 
 TPU-native changes:
+  * Fit, pdf, and sampling are module-level JITTED functions over array
+    pytrees (the class is a thin holder), so the per-iteration WKDE refit
+    and the 20k-candidate pdf sweeps reuse compiled programs across the
+    whole BO loop.
   * The component set has a static size (n_kde, padded with zero-weight
     components), so refits never change compiled shapes.
   * pdf() evaluates all n_x * n_kde Gaussians via one whitened squared-
@@ -16,6 +20,7 @@ TPU-native changes:
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -27,7 +32,88 @@ from ..utils.weights import (
     cleansing_weights,
     check_weights,
     deweighted_resampling,
+    weighted_resampling,
 )
+
+
+@partial(jax.jit, static_argnames=("n_kde", "bw_method", "n_dims"))
+def _wkde_fit(key, x, w, n_kde: int, bw_method: str, n_dims: int):
+    """Select components, bandwidth, and shared covariance; returns the
+    WKDE parameter pytree."""
+    # component selection (SOBER/_wkde.py:53-75): uniform-izing resample
+    # when weights are rich, else the positive-weight support
+    rich = check_weights(w, thresh=min(n_kde, 5))
+    idx_rich = deweighted_resampling(key, w, n_kde)
+    idx_poor = jnp.argsort(-(w > 0).astype(jnp.float32))[:n_kde]
+    idx = jnp.where(rich, idx_rich, idx_poor)
+    x_obs = x[idx]
+    weights = cleansing_weights(w[idx])
+
+    # Scott/Silverman bandwidth (SOBER/_wkde.py:86-94)
+    neff = 1.0 / jnp.sum(weights**2)
+    if bw_method == "scott":
+        bw = neff ** (-1.0 / (n_dims + 4))
+    else:
+        bw = (neff * (n_dims + 2.0) / 4.0) ** (-1.0 / (n_dims + 4))
+
+    # weighted covariance with bias correction (SOBER/_wkde.py:96-107)
+    mean = weights @ x_obs
+    resid = x_obs - mean[None, :]
+    data_cov = (resid.T * weights[None, :]) @ resid
+    data_cov = data_cov / jnp.maximum(1.0 - jnp.sum(weights**2), 1e-6)
+    covariance = make_psd(data_cov * bw**2)
+    chol, _ = jitter_cholesky(covariance)
+    log_norm = (jnp.sum(jnp.log(jnp.diagonal(chol)))
+                + 0.5 * n_dims * jnp.log(2.0 * jnp.pi))
+    return dict(x_obs=x_obs, weights=weights, covariance=covariance,
+                chol=chol, log_norm=log_norm, neff=neff, bw=bw)
+
+
+@jax.jit
+def _wkde_pdf(params, bounds, x):
+    chol = params["chol"]
+    z = jax.scipy.linalg.solve_triangular(chol, x.T, lower=True).T
+    zo = jax.scipy.linalg.solve_triangular(chol, params["x_obs"].T,
+                                           lower=True).T
+    d2 = (jnp.sum(z * z, axis=1, keepdims=True) - 2.0 * z @ zo.T
+          + jnp.sum(zo * zo, axis=1)[None, :])
+    log_pdfs = -0.5 * jnp.maximum(d2, 0.0) - params["log_norm"]
+    vals = jnp.exp(log_pdfs) @ params["weights"]
+    if bounds is not None:
+        inside = jnp.logical_and(
+            jnp.all(x >= bounds[0][None, :], axis=1),
+            jnp.all(x <= bounds[1][None, :], axis=1))
+        vals = jnp.where(inside, vals, 0.0)
+    return vals
+
+
+@partial(jax.jit, static_argnames=("n", "n_rounds"))
+def _wkde_sample(key, params, bounds, n: int, n_rounds: int):
+    k_comp, k_noise = jax.random.split(key)
+    logw = jnp.log(jnp.maximum(params["weights"], 1e-38))
+    comp = jax.random.categorical(k_comp, logw, shape=(n,))
+    centers = params["x_obs"][comp]
+    chol = params["chol"]
+    d = centers.shape[1]
+
+    def draw(k):
+        return centers + jax.random.normal(k, (n, d)) @ chol.T
+
+    x = draw(k_noise)
+    if bounds is None:
+        return x
+    lo, hi = bounds[0], bounds[1]
+
+    def body(i, carry):
+        x, key = carry
+        key, sub = jax.random.split(key)
+        fresh = draw(sub)
+        bad = jnp.logical_or(jnp.any(x < lo[None, :], axis=1),
+                             jnp.any(x > hi[None, :], axis=1))
+        return jnp.where(bad[:, None], fresh, x), key
+
+    x, _ = jax.lax.fori_loop(0, n_rounds, body, (x, k_noise))
+    return jnp.clip(x, lo[None, :], hi[None, :])
 
 
 class WeightedKernelDensityEstimation(BasePrior):
@@ -42,89 +128,37 @@ class WeightedKernelDensityEstimation(BasePrior):
         self.n_kde = min(n_kde, x.shape[0])
         if key is None:
             key = jax.random.key(0)
+        self._params = _wkde_fit(key, jnp.asarray(x),
+                                 jnp.asarray(w).reshape(-1),
+                                 self.n_kde, bw_method, n_dims)
 
-        w = jnp.asarray(w).reshape(-1)
-        # component selection: uniform-izing resample when weights are rich,
-        # else keep the positive-weight support (SOBER/_wkde.py:53-75)
-        if bool(check_weights(w, thresh=min(self.n_kde, 5))):
-            idx = deweighted_resampling(key, w, self.n_kde)
-        else:
-            order = jnp.argsort(-(w > 0).astype(jnp.float32))
-            idx = order[: self.n_kde]
-        self.x_obs = x[idx]                                   # (n_kde, d)
-        self.weights = cleansing_weights(w[idx])              # (n_kde,)
+    # attribute views kept for parity with the reference object
+    @property
+    def x_obs(self):
+        return self._params["x_obs"]
 
-        # Scott/Silverman bandwidth from effective sample size
-        # (SOBER/_wkde.py:86-94)
-        self.neff = 1.0 / jnp.sum(self.weights**2)
-        if bw_method == "scott":
-            self.bw = self.neff ** (-1.0 / (n_dims + 4))
-        elif bw_method == "silverman":
-            self.bw = (self.neff * (n_dims + 2.0) / 4.0) ** (
-                -1.0 / (n_dims + 4))
-        else:
-            raise ValueError(bw_method)
+    @property
+    def weights(self):
+        return self._params["weights"]
 
-        # weighted covariance with bias correction (SOBER/_wkde.py:96-107)
-        mean = self.weights @ self.x_obs
-        resid = self.x_obs - mean[None, :]
-        data_cov = (resid.T * self.weights[None, :]) @ resid
-        data_cov = data_cov / jnp.maximum(1.0 - jnp.sum(self.weights**2),
-                                          1e-6)
-        self.covariance = make_psd(data_cov * self.bw**2)
-        self.chol, _ = jitter_cholesky(self.covariance)
-        # log normalizer of one Gaussian component
-        self._log_norm = (
-            jnp.sum(jnp.log(jnp.diagonal(self.chol)))
-            + 0.5 * n_dims * jnp.log(2.0 * jnp.pi)
-        )
+    @property
+    def covariance(self):
+        return self._params["covariance"]
 
-    def _whiten(self, x):
-        return jax.scipy.linalg.solve_triangular(
-            self.chol, x.T, lower=True).T
+    @property
+    def chol(self):
+        return self._params["chol"]
+
+    @property
+    def neff(self):
+        return self._params["neff"]
+
+    @property
+    def bw(self):
+        return self._params["bw"]
 
     def pdf(self, x) -> jax.Array:
-        z = self._whiten(x)                      # (n, d)
-        zo = self._whiten(self.x_obs)            # (n_kde, d)
-        d2 = (
-            jnp.sum(z * z, axis=1, keepdims=True)
-            - 2.0 * z @ zo.T
-            + jnp.sum(zo * zo, axis=1)[None, :]
-        )
-        log_pdfs = -0.5 * jnp.maximum(d2, 0.0) - self._log_norm
-        vals = jnp.exp(log_pdfs) @ self.weights
-        if self.bounds is not None:
-            inside = jnp.logical_and(
-                jnp.all(x >= self.bounds[0][None, :], axis=1),
-                jnp.all(x <= self.bounds[1][None, :], axis=1),
-            )
-            vals = jnp.where(inside, vals, 0.0)
-        return vals
+        return _wkde_pdf(self._params, self.bounds, x)
 
     def sample(self, key, n: int, n_rounds: int = 10) -> jax.Array:
-        k_comp, k_noise = jax.random.split(key)
-        logw = jnp.log(jnp.maximum(self.weights, 1e-38))
-        comp = jax.random.categorical(k_comp, logw, shape=(n,))
-        centers = self.x_obs[comp]                            # (n, d)
-
-        def draw(k):
-            z = jax.random.normal(k, (n, self.n_dims))
-            return centers + z @ self.chol.T
-
-        x = draw(k_noise)
-        if self.bounds is None:
-            return x
-        lo, hi = self.bounds[0], self.bounds[1]
-
-        def body(i, carry):
-            x, key = carry
-            key, sub = jax.random.split(key)
-            fresh = draw(sub)
-            bad = jnp.logical_or(
-                jnp.any(x < lo[None, :], axis=1),
-                jnp.any(x > hi[None, :], axis=1),
-            )
-            return jnp.where(bad[:, None], fresh, x), key
-
-        x, _ = jax.lax.fori_loop(0, n_rounds, body, (x, k_noise))
-        return jnp.clip(x, lo[None, :], hi[None, :])
+        return _wkde_sample(key, self._params, self.bounds, n, n_rounds)
