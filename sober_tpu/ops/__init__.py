@@ -26,3 +26,7 @@ __all__ = [
     "kmeans",
     "kmeans_resampling",
 ]
+
+from .pallas_kernels import tanimoto_gram_pallas, rbf_gram_pallas  # noqa: E402
+
+__all__ += ["tanimoto_gram_pallas", "rbf_gram_pallas"]
