@@ -22,11 +22,14 @@ def batch_tanimoto_sim(x: jax.Array, y: jax.Array) -> jax.Array:
 
 def fit_tanimoto_gp(x: jax.Array, y: jax.Array,
                     noise_lo: float = 1e-8, noise_hi: float = 1e-2,
-                    optimiser: str = "lbfgs", fit_iters: int = 100
-                    ) -> GPState:
+                    optimiser: str = "lbfgs", fit_iters: int = 100,
+                    bucket: int = 128) -> GPState:
     """TanimotoGP (SOBER/_drug_modelling.py:103-113): ScaleKernel(Tanimoto)
-    exact GP with standardized targets."""
+    exact GP with standardized targets. Observations are bucket-padded so
+    the screening loop reuses compiled programs as the pool is consumed."""
+    from .exact import fit_gp_padded
+
     cfg = GPConfig(kernel_name="tanimoto", noise_lo=noise_lo,
                    noise_hi=noise_hi, train_lik=True, standardize_y=True,
                    use_priors=False, fit_iters=fit_iters)
-    return fit_gp(x, y, cfg, optimiser=optimiser)
+    return fit_gp_padded(x, y, cfg, optimiser=optimiser, bucket=bucket)
