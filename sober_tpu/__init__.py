@@ -28,5 +28,19 @@ from .config import Settings, settings, set_settings
 from .core.sober import Sober
 from .utils.prng import KeyRing
 
-__all__ = ["Settings", "settings", "set_settings", "Sober", "KeyRing",
-           "__version__"]
+
+def __getattr__(name):
+    # lazy import: SoberWrapper pulls in the full apps stack
+    if name == "SoberWrapper":
+        from .apps.wrapper import SoberWrapper
+
+        return SoberWrapper
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+# reference exports (SOBER/__init__.py:1-6): setting_parameters ->
+# set_settings, TensorManager -> KeyRing/Settings
+setting_parameters = set_settings
+
+__all__ = ["Settings", "settings", "set_settings", "setting_parameters",
+           "Sober", "SoberWrapper", "KeyRing", "__version__"]

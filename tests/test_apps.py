@@ -173,3 +173,16 @@ class TestEP:
         ep.current_feature = 0
         d = ep.distance_function(np.array([[0.3, 99.0]]))
         assert float(d[0]) < 1e-6
+
+
+class TestAdaptiveLoop:
+    def test_run_sober_adaptively_stops(self):
+        w = TestSoberWrapperCore()._make()
+        w.run_SOBER_adaptively(
+            stopping_criterion_variance=1e10,  # stop at the first check
+            maximum_number_of_batches=3,
+            model_samples_per_iteration=8,
+            surrogate_samples=256, surrogate_effective_samples=32,
+            integration_nodes=16, basq_samples=256,
+            basq_effective_samples=32, verbose=False)
+        assert w.total_sober_iterations >= 1
