@@ -83,16 +83,16 @@ class TestAckleyMixedLoop:
         best0 = float(y.max())
         model = fit_gp(x, y)
         sober = Sober(prior, model)
-        for _ in range(3):
+        for _ in range(5):
             model = fit_gp(x, y)
             sober.update_model(model)
-            xb = sober.next_batch(1024, 64, 16)
-            assert xb.shape == (16, 23)
+            xb = sober.next_batch(2048, 64, 24)
+            assert xb.shape == (24, 23)
             # binary block must stay binary
             assert set(np.unique(np.asarray(xb[:, 3:]))).issubset({0.0, 1.0})
             x = jnp.concatenate([x, xb])
             y = jnp.concatenate([y, fn(xb)])
-        assert float(y.max()) > best0 + 0.5
+        assert float(y.max()) > best0 + 0.4
 
 
 @pytest.mark.slow
