@@ -304,6 +304,57 @@ class SoberWrapper:
             },
         }
 
+    def save_state(self, path: str):
+        """Checkpoint the full loop state (X, Y, LL, normalization, PRNG) —
+        the reference has no persistence at all (SURVEY.md §5.4)."""
+        from ..utils.checkpoint import save_checkpoint
+
+        save_checkpoint(path, {
+            "x_all": self.X_all,
+            "y_all": self.Y_all,
+            "ll_all": self.LL_all,
+            "y_mean": self.Y_all_mean,
+            "y_std": self.Y_all_std,
+            "key": jax.random.key_data(self.keys._key),
+        }, metadata={"sober_iterations": self.sober_iterations,
+                     "results": self.results})
+
+    def load_state(self, path: str):
+        """Resume from a save_state checkpoint and refit the surrogate."""
+        from ..utils.checkpoint import load_loop_state
+
+        state, meta = load_loop_state(path)
+        self.X_all = state["x_all"]
+        self.Y_all = state["y_all"]
+        self.LL_all = state["ll_all"]
+        self.Y_all_mean = state["y_mean"]
+        self.Y_all_std = state["y_std"]
+        self.keys._key = state["key"]
+        self.sober_iterations = meta["sober_iterations"]
+        self.results = [list(r) for r in meta["results"]]
+        self.set_rbf_model(self.X_all, self.Y_all, use_bolfi=self.use_bolfi)
+        self.sober = Sober(self.prior, self.surrogate_model)
+
+    def visualize_prior(self):
+        """Scatter-matrix of the initial prior sampling (matplotlib-only
+        version of the seaborn pairplot at SOBER/_sober_wrapper.py:296-305)."""
+        import matplotlib.pyplot as plt
+
+        d = self.input_dim
+        x = np.asarray(self.X_all)
+        fig, axes = plt.subplots(d, d, figsize=(2 * d, 2 * d),
+                                 tight_layout=True)
+        axes = np.atleast_2d(axes)
+        for i in range(d):
+            for j in range(d):
+                ax = axes[i][j]
+                if i == j:
+                    ax.hist(x[:, i], 30)
+                else:
+                    ax.scatter(x[:, j], x[:, i], s=4)
+        fig.suptitle("correlation plot of prior sampling")
+        plt.show()
+
     def visualize_results(self):
         """(SOBER/_sober_wrapper.py:654-674)"""
         import matplotlib.pyplot as plt

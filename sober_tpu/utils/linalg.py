@@ -25,6 +25,16 @@ def remove_anomalies(y: jax.Array, floor: float | None = None) -> jax.Array:
     return jnp.maximum(y, floor)
 
 
+def remove_anomalies_uniform(x: jax.Array, uni_min: jax.Array,
+                             uni_max: jax.Array) -> jax.Array:
+    """Row mask of inputs inside the [uni_min, uni_max] box
+    (SOBER/_utils.py:101-115)."""
+    return jnp.logical_and(
+        jnp.all(x >= uni_min[None, :], axis=1),
+        jnp.all(x <= uni_max[None, :], axis=1),
+    )
+
+
 def symmetrize(a: jax.Array) -> jax.Array:
     return 0.5 * (a + a.T)
 

@@ -186,3 +186,23 @@ class TestAdaptiveLoop:
             integration_nodes=16, basq_samples=256,
             basq_effective_samples=32, verbose=False)
         assert w.total_sober_iterations >= 1
+
+
+class TestWrapperCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        w = TestSoberWrapperCore()._make()
+        w.run_SOBER(sober_iterations=1, model_samples_per_iteration=8,
+                    surrogate_samples=256, surrogate_effective_samples=32,
+                    verbose=False)
+        path = str(tmp_path / "ck")
+        w.save_state(path)
+        w2 = TestSoberWrapperCore()._make()
+        w2.load_state(path)
+        assert w2.X_all.shape == w.X_all.shape
+        assert np.allclose(np.asarray(w2.Y_all), np.asarray(w.Y_all))
+        assert w2.sober_iterations == w.sober_iterations
+        # the resumed wrapper can continue optimizing
+        w2.run_SOBER(sober_iterations=1, model_samples_per_iteration=8,
+                     surrogate_samples=256, surrogate_effective_samples=32,
+                     verbose=False)
+        assert len(w2.X_all) == len(w.X_all) + 8
