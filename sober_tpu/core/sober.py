@@ -54,7 +54,10 @@ class Sober(EmpiricalSampler):
         """Duck-typed model family sniffing (SOBER/_sober.py:41-54)."""
         if hasattr(model, "is_fbgp"):
             self.fbgp, self.is_bq = True, False
-            self.n_init = len(model.fobs)
+            if getattr(model, "mask", None) is not None:
+                self.n_init = int(model.mask.sum())
+            else:
+                self.n_init = len(model.fobs)
         elif hasattr(model, "is_bq"):
             self.fbgp, self.is_bq = False, True
             self.n_init = len(model.y_log)
@@ -95,7 +98,11 @@ class Sober(EmpiricalSampler):
 
     def _targets(self) -> np.ndarray:
         if self.fbgp:
-            return np.asarray(self.pi.model.fobs)
+            fobs = np.asarray(self.pi.model.fobs)
+            mask = getattr(self.pi.model, "mask", None)
+            if mask is not None:
+                fobs = fobs[np.asarray(mask) > 0]
+            return fobs
         if self.is_bq:
             return np.asarray(self.pi.model.y_log)
         y = np.asarray(self.pi.model.y)

@@ -51,9 +51,10 @@ class FitboGP:
                  label: str = "wsabim", alpha_factor: float = 1.0,
                  lik: float = 1e-10, rng: float = 10.0,
                  train_lik: bool = False, optimiser: str = "lbfgs",
-                 fit_iters: int = 200):
+                 fit_iters: int = 200, bucket: int = 128):
         self.label = label
         self.alpha_factor = alpha_factor
+        self.bucket = bucket
         self.jitter = 0.0
         self.cfg = GPConfig(
             kernel_name=kernel_name, noise_lo=lik / rng, noise_hi=lik * rng,
@@ -69,25 +70,37 @@ class FitboGP:
     def unwarp_y(self, y):
         return self.alpha - 0.5 * y**2
 
-    def _process_y(self, y):
+    def _process_y(self, y, mask=None):
         y = remove_anomalies(y)
+        if mask is not None:
+            masked = jnp.where(mask > 0, y, -jnp.inf)
+            self.alpha = self.alpha_factor * jnp.max(masked)
+            return self.warp_y(y) * mask
         self.alpha = self.alpha_factor * jnp.max(y)
         return self.warp_y(y)
 
     def _refit(self, x, y_unwarp):
-        y_warp = self._process_y(y_unwarp)
-        self.model: GPState = fit_gp(x, y_warp, self.cfg,
-                                     optimiser=self.optimiser)
+        """Bucket-padded fit: the hyperposterior sweep and chain caches keep
+        stable compiled shapes as observations accumulate."""
+        from .exact import pad_observations
+
+        self.x_obs_raw = jnp.asarray(x)
+        xp, yp, mask = pad_observations(self.x_obs_raw, y_unwarp, self.bucket)
+        y_warp = self._process_y(yp, mask)
+        self.model: GPState = fit_gp(xp, y_warp, self.cfg,
+                                     optimiser=self.optimiser, mask=mask)
+        # padded unwarped targets for the FBGP machinery
+        self.fobs_padded = yp * mask
 
     def update_wsabi_gp(self, x_new, y_new):
         """(SOBER/FBGP/_fitbo.py:145-164)"""
-        x_all = jnp.concatenate([self.model.x, jnp.asarray(x_new)])
+        x_all = jnp.concatenate([self.x_obs_raw, jnp.asarray(x_new)])
         self.Y_unwarp = jnp.concatenate(
             [self.Y_unwarp, jnp.asarray(y_new).reshape(-1)])
         self._refit(x_all, self.Y_unwarp)
 
     def retrain_gp(self):
-        self._refit(self.model.x, self.Y_unwarp)
+        self._refit(self.x_obs_raw, self.Y_unwarp)
 
     def memorise_parameters(self):
         self._memory = (self.model.kernel, self.model.noise)
@@ -170,43 +183,61 @@ class RBFHyperPrior:
 # FITBO marginal likelihood as a pure function of theta
 # ----------------------------------------------------------------------------
 
-def _condition_g(x, g, noise, ls, os_):
+def _condition_g(x, g, noise, ls, os_, mask=None):
     """Condition a zero-mean RBF GP with fixed hypers on (x, g); return the
     posterior-at-train mean and covariance including observation noise (the
-    likelihood-smeared model(Xobs) of SOBER/FBGP/_fully_Bayesian_gp.py:146-151)."""
+    likelihood-smeared model(Xobs) of SOBER/FBGP/_fully_Bayesian_gp.py:146-151).
+    `mask` marks real rows of a padded observation buffer."""
     n = x.shape[0]
     params = {"lengthscale": ls, "outputscale": os_}
     kxx = rbf_gram(params, x, x)
-    kn = kxx + noise * jnp.eye(n, dtype=x.dtype)
+    if mask is not None:
+        mm = mask[:, None] * mask[None, :]
+        kxx = kxx * mm
+        kn = kxx + noise * jnp.diag(mask) + jnp.diag(1.0 - mask)
+        noise_diag = noise * jnp.diag(mask)
+    else:
+        kn = kxx + noise * jnp.eye(n, dtype=x.dtype)
+        noise_diag = noise * jnp.eye(n, dtype=x.dtype)
     chol, _ = jitter_cholesky(kn)
     alpha = cho_solve((chol, True), g)
     mu = kxx @ alpha
     v = solve_triangular(chol, kxx, lower=True)          # (n, n)
-    cov = kxx - v.T @ v + noise * jnp.eye(n, dtype=x.dtype)
+    cov = kxx - v.T @ v + noise_diag
     return mu, cov
 
 
 def fitbo_mll(theta_log: jax.Array, x: jax.Array, fobs: jax.Array,
-              eta: jax.Array) -> jax.Array:
+              eta: jax.Array, mask: jax.Array = None) -> jax.Array:
     """FITBO marginal log likelihood for one log-space hypersample
     (LogMarginalLikelihood.mll, SOBER/FBGP/_fully_Bayesian_gp.py:126-161).
-    Pure and vmap-able."""
+    Pure and vmap-able; padded rows (mask 0) contribute nothing."""
     big = jnp.exp(theta_log)
     eta_h = eta + big[0]
     noise, ls, os_ = big[1], big[2], big[3]
-    n = x.shape[0]
 
     gobs = jnp.sign(eta_h) * jnp.sqrt(jnp.maximum(2.0 * (eta_h - fobs), 0.0))
-    mu_g, cov_g = _condition_g(x, gobs, noise, ls, os_)
+    if mask is not None:
+        gobs = gobs * mask
+        n = jnp.sum(mask)
+    else:
+        n = x.shape[0]
+    mu_g, cov_g = _condition_g(x, gobs, noise, ls, os_, mask)
     var_g = jnp.diagonal(cov_g)
 
     mu_f = eta_h - 0.5 * (mu_g**2 + var_g)
     cov_f = mu_g[:, None] * cov_g * mu_g[None, :] + 0.5 * cov_g**2
-    chol_f, _ = jitter_cholesky(cov_f)
     diff = fobs - mu_f
+    if mask is not None:
+        mm = mask[:, None] * mask[None, :]
+        cov_f = cov_f * mm + jnp.diag(1.0 - mask)
+        diff = diff * mask
+    chol_f, _ = jitter_cholesky(cov_f)
     w = solve_triangular(chol_f, diff, lower=True)
-    ll = (-0.5 * jnp.sum(w**2)
-          - jnp.sum(jnp.log(jnp.diagonal(chol_f)))
+    logdiag = jnp.log(jnp.diagonal(chol_f))
+    if mask is not None:
+        logdiag = logdiag * mask
+    ll = (-0.5 * jnp.sum(w**2) - jnp.sum(logdiag)
           - 0.5 * n * jnp.log(2.0 * jnp.pi))
     mll = ll / n
     return jnp.where(jnp.isfinite(mll), mll, EPS_LML)
@@ -223,7 +254,8 @@ def sampling_hypers(model: FitboGP, hyperprior: RBFHyperPrior,
     if key is None:
         key = jax.random.key(0)
     x = model.model.x
-    fobs = model.Y_unwarp
+    fobs = getattr(model, "fobs_padded", model.Y_unwarp)
+    mask = model.model.mask
     eta = model.alpha
     theta_map = jnp.array([
         model.model.noise,
@@ -237,8 +269,8 @@ def sampling_hypers(model: FitboGP, hyperprior: RBFHyperPrior,
         jnp.concatenate([jnp.array([-10.0]), jnp.log(theta_map)])[None, :],
         samples,
     ])
-    lmls = jax.jit(jax.vmap(fitbo_mll, in_axes=(0, None, None, None)))(
-        samples, x, fobs, eta)
+    lmls = jax.jit(jax.vmap(fitbo_mll, in_axes=(0, None, None, None, None)))(
+        samples, x, fobs, eta, mask)
     big = jnp.exp(samples)
     # original-space hypersamples: Theta[0] = eta + exp(theta[0])
     # (log_to_exp_transform, SOBER/FBGP/_fully_Bayesian_gp.py:112-124)
@@ -322,22 +354,29 @@ class FullyBayesianGP:
 
     def __init__(self, gp: FitboGP, w_qd, theta_qd):
         self.Xobs = gp.model.x
-        self.fobs = gp.Y_unwarp
+        self.fobs = getattr(gp, "fobs_padded", gp.Y_unwarp)
+        self.mask = gp.model.mask
         self.eta = gp.alpha
         self.w_qd = jnp.asarray(w_qd)
         self.Theta_qd = jnp.asarray(theta_qd)     # (q, 4) ORIGINAL space
         self._build_caches()
 
     def _build_caches(self):
-        x, fobs = self.Xobs, self.fobs
+        x, fobs, mask = self.Xobs, self.fobs, self.mask
 
         def build(theta):
             eta_h, noise, ls, os_ = theta[0], theta[1], theta[2], theta[3]
             gobs = jnp.sign(eta_h) * jnp.sqrt(
                 jnp.maximum(2.0 * (eta_h - fobs), 0.0))
             params = {"lengthscale": ls, "outputscale": os_}
-            kn = rbf_gram(params, x, x) + noise * jnp.eye(
-                x.shape[0], dtype=x.dtype)
+            kxx = rbf_gram(params, x, x)
+            if mask is not None:
+                gobs = gobs * mask
+                mm = mask[:, None] * mask[None, :]
+                kn = kxx * mm + noise * jnp.diag(mask) \
+                    + jnp.diag(1.0 - mask)
+            else:
+                kn = kxx + noise * jnp.eye(x.shape[0], dtype=x.dtype)
             chol, _ = jitter_cholesky(kn)
             alpha = cho_solve((chol, True), gobs)
             return chol, alpha
@@ -351,6 +390,8 @@ class FullyBayesianGP:
         eta_h, noise, ls, os_ = theta[0], theta[1], theta[2], theta[3]
         params = {"lengthscale": ls, "outputscale": os_}
         kqx = rbf_gram(params, x_test, self.Xobs)
+        if self.mask is not None:
+            kqx = kqx * self.mask[None, :]
         mu_g = kqx @ alpha
         v = solve_triangular(chol, kqx.T, lower=True)
         var_g = jnp.maximum(os_ - jnp.sum(v * v, axis=0), 0.0) + noise
@@ -394,16 +435,18 @@ class FullyBayesianGP:
         (core/rchq.py:recombination)."""
         return _RCFbgpKernel(
             (self.Xobs, self.Theta_qd, self._cache.chol, self._cache.alpha,
-             self.w_qd))
+             self.w_qd, self.mask))
 
 
 def _fbgp_chain_mu(tree, x_test):
-    x_obs, theta_qd, chol, alpha, w_qd = tree
+    x_obs, theta_qd, chol, alpha, w_qd, mask = tree
 
     def one(theta, chol_i, alpha_i):
         eta_h, noise, ls, os_ = theta[0], theta[1], theta[2], theta[3]
         params = {"lengthscale": ls, "outputscale": os_}
         kqx = rbf_gram(params, x_test, x_obs)
+        if mask is not None:
+            kqx = kqx * mask[None, :]
         mu_g = kqx @ alpha_i
         v = solve_triangular(chol_i, kqx.T, lower=True)
         var_g = jnp.maximum(os_ - jnp.sum(v * v, axis=0), 0.0) + noise

@@ -122,9 +122,10 @@ class TestFBGP:
         self.gp = FitboGP(x, self.y)
 
     def test_fitbo_mll_finite_and_discriminative(self):
-        x = self.gp.model.x
+        x = self.gp.model.x  # bucket-padded buffer
         theta_good = jnp.log(jnp.array([0.1, 1e-6, 1.0, 1.0]))
-        val = fitbo_mll(theta_good, x, self.gp.Y_unwarp, self.gp.alpha)
+        val = fitbo_mll(theta_good, x, self.gp.fobs_padded, self.gp.alpha,
+                        self.gp.model.mask)
         assert np.isfinite(float(val))
 
     def test_sampling_hypers_vmapped(self):
