@@ -143,3 +143,41 @@ class TestFusedPath:
 
         want = cleansing_weights(pi(x_cand) / pdf)
         assert np.allclose(np.asarray(weights), np.asarray(want), atol=1e-5)
+
+
+class TestReferenceParityEdges:
+    def test_ts_sampler_not_implemented(self):
+        """PI 'ts' branch raises, as the reference's does (SOBER/_pi.py:51)."""
+        _, prior, model = _sober_on_branin()
+        with pytest.raises(NotImplementedError):
+            PI(model, label="ts")
+
+    def test_kernel_mode_prior_kernel(self):
+        sober, prior, model = _sober_on_branin()
+        k = RecombinationKernel(model, mode="kernel")
+        x = prior.sample(KEY, 8)
+        got = np.asarray(k(x, x))
+        want = np.asarray(model.kernel.gram(x, x))
+        assert np.allclose(got, want, atol=1e-5)
+
+    def test_invalid_kernel_mode_raises(self):
+        _, _, model = _sober_on_branin()
+        with pytest.raises(ValueError):
+            RecombinationKernel(model, mode="nonsense")
+
+    def test_dataset_without_pruning(self):
+        rng = np.random.default_rng(2)
+        feats = jnp.asarray(rng.integers(0, 2, (200, 16)), jnp.float32)
+        targets = jnp.asarray(rng.normal(size=200), jnp.float32)
+        ds = DatasetPrior(feats, targets)
+        x0, y0 = ds.sample(KEY, 20)
+        model = fit_gp(x0, y0)
+        sober = Sober(ds, model, dataset_pruning=False)
+        idx, xb = sober.next_batch(128, 48, 8)
+        assert xb.shape == (8, 16)
+
+    def test_return_weights_mode(self):
+        sober, prior, model = _sober_on_branin()
+        w, xb = sober.next_batch(512, 64, 8, return_weights=True)
+        assert w.shape == (8,)
+        assert abs(float(w.sum()) - 1.0) < 1e-3
