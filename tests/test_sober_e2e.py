@@ -122,3 +122,52 @@ class TestReturnModesAndReset:
         y2 = fn(x2)
         sober.update_model(fit_gp(x2, y2))
         assert sober.should_reset_prior(16, False)
+
+
+@pytest.mark.slow
+class TestCategoricalLoops:
+    def test_pest_categorical_loop(self):
+        """Pure-categorical domain (15 stages x 5 pesticides,
+        examples/pest.py flow)."""
+        from sober_tpu.tasks import setup_pest
+
+        keys = KeyRing(0)
+        prior, fn = setup_pest()
+        x = prior.sample(keys.next(), 40)
+        y = fn(x)
+        best0 = float(y.max())
+        model = fit_gp(x, y)
+        sober = Sober(prior, model)
+        for _ in range(2):
+            model = fit_gp(x, y)
+            sober.update_model(model)
+            xb = sober.next_batch(512, 64, 16)
+            assert xb.shape == (16, 15)
+            vals = set(np.unique(np.asarray(xb)))
+            assert vals.issubset({0.0, 1.0, 2.0, 3.0, 4.0})
+            x = jnp.concatenate([x, xb])
+            y = jnp.concatenate([y, fn(xb)])
+        assert float(y.max()) >= best0  # improves or holds
+
+    def test_rosenbrock_mixed_categorical_loop(self):
+        """Mixed continuous+categorical domain (examples/rosenbrock.py)."""
+        from sober_tpu.tasks import setup_rosenbrock
+
+        keys = KeyRing(0)
+        prior, fn = setup_rosenbrock()
+        x = prior.sample(keys.next(), 40)
+        y = fn(x)
+        best0 = float(y.max())
+        model = fit_gp(x, y)
+        sober = Sober(prior, model)
+        for _ in range(2):
+            model = fit_gp(x, y)
+            sober.update_model(model)
+            xb = sober.next_batch(512, 64, 16)
+            assert xb.shape == (16, 7)
+            # categorical block takes only the 4 category values
+            assert set(np.unique(np.asarray(xb[:, 1:]))).issubset(
+                {-2.0, -1.0, 1.0, 2.0})
+            x = jnp.concatenate([x, xb])
+            y = jnp.concatenate([y, fn(xb)])
+        assert float(y.max()) > best0  # strictly improves
