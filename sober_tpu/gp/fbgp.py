@@ -24,11 +24,13 @@ implements the intended behavior.
 """
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.scipy.linalg import cho_solve, solve_triangular
 
 from ..ops.kernels import rbf_gram
@@ -36,8 +38,11 @@ from ..utils.linalg import jitter_cholesky, remove_anomalies
 from ..utils.weights import cleansing_weights, deweighted_resampling
 from .exact import GPConfig, GPState, fit_gp, predict, predictive_covariance
 
-EPS_LML = -float(jnp.sqrt(jnp.finfo(jnp.float32).max))
-EPS = float(jnp.finfo(jnp.float32).eps)
+# Device-free module constants: computed with math/numpy, NOT jnp ops —
+# a jnp op at import time initializes the default backend, which breaks the
+# driver's CPU-mesh dryrun (import sober_tpu must never touch a device).
+EPS_LML = -math.sqrt(float(np.finfo(np.float32).max))
+EPS = float(np.finfo(np.float32).eps)
 
 
 # ----------------------------------------------------------------------------

@@ -170,8 +170,8 @@ ISING_GRID_H = 4
 ISING_GRID_W = 4
 ISING_N_EDGES = 24
 
-_HORIZONTAL_IND = jnp.asarray([0, 2, 4, 7, 9, 11, 14, 16, 18, 21, 22, 23])
-_VERTICAL_IND = jnp.asarray(
+_HORIZONTAL_IND = np.asarray([0, 2, 4, 7, 9, 11, 14, 16, 18, 21, 22, 23])
+_VERTICAL_IND = np.asarray(
     [i for i in range(24) if i not in
      {0, 2, 4, 7, 9, 11, 14, 16, 18, 21, 22, 23}])
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def ackley(x: jax.Array) -> jax.Array:
@@ -40,14 +41,14 @@ def rosenbrock(x: jax.Array) -> jax.Array:
     return -jnp.mean(terms, axis=1)
 
 
-_HART6_ALPHA = jnp.array([1.0, 1.2, 3.0, 3.2])
-_HART6_A = jnp.array([
+_HART6_ALPHA = np.array([1.0, 1.2, 3.0, 3.2])
+_HART6_A = np.array([
     [10.0, 3.0, 17.0, 3.5, 1.7, 8.0],
     [0.05, 10.0, 17.0, 0.1, 8.0, 14.0],
     [3.0, 3.5, 1.7, 10.0, 17.0, 8.0],
     [17.0, 8.0, 0.05, 10.0, 0.1, 14.0],
 ])
-_HART6_P = 1e-4 * jnp.array([
+_HART6_P = 1e-4 * np.array([
     [1312.0, 1696.0, 5569.0, 124.0, 8283.0, 5886.0],
     [2329.0, 4135.0, 8307.0, 3736.0, 1004.0, 9991.0],
     [2348.0, 1451.0, 3522.0, 2883.0, 3047.0, 6650.0],
@@ -63,9 +64,9 @@ def hartmann6(x: jax.Array) -> jax.Array:
     return jnp.sum(_HART6_ALPHA[None] * jnp.exp(-inner), axis=1)
 
 
-_SHEKEL_BETA = 0.1 * jnp.array([1.0, 2.0, 2.0, 4.0, 4.0, 6.0, 3.0, 7.0, 5.0,
+_SHEKEL_BETA = 0.1 * np.array([1.0, 2.0, 2.0, 4.0, 4.0, 6.0, 3.0, 7.0, 5.0,
                                 5.0])
-_SHEKEL_C = jnp.array([
+_SHEKEL_C = np.array([
     [4.0, 1.0, 8.0, 6.0, 3.0, 2.0, 5.0, 8.0, 6.0, 7.0],
     [4.0, 1.0, 8.0, 6.0, 7.0, 9.0, 3.0, 1.0, 2.0, 3.6],
     [4.0, 1.0, 8.0, 6.0, 3.0, 2.0, 5.0, 8.0, 6.0, 7.0],
