@@ -70,7 +70,11 @@ class FitboGP:
         self._refit(jnp.asarray(x_obs), self.Y_unwarp)
 
     def warp_y(self, y):
-        return jnp.sign(self.alpha) * jnp.sqrt(2.0 * (self.alpha - y))
+        # clamp: y marginally above alpha (fp noise, or padded rows when
+        # alpha < 0) would give sqrt(negative) = NaN and poison the masked
+        # MLL — same guard as fitbo_mll
+        return jnp.sign(self.alpha) * jnp.sqrt(
+            jnp.maximum(2.0 * (self.alpha - y), 0.0))
 
     def unwarp_y(self, y):
         return self.alpha - 0.5 * y**2
@@ -80,7 +84,10 @@ class FitboGP:
         if mask is not None:
             masked = jnp.where(mask > 0, y, -jnp.inf)
             self.alpha = self.alpha_factor * jnp.max(masked)
-            return self.warp_y(y) * mask
+            # padded rows carry y=0 from pad_observations; with alpha < 0
+            # (all-negative observations) warping them would NaN, so warp
+            # them at exactly alpha -> 0 before the mask zeroes them out
+            return self.warp_y(jnp.where(mask > 0, y, self.alpha)) * mask
         self.alpha = self.alpha_factor * jnp.max(y)
         return self.warp_y(y)
 

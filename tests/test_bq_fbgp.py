@@ -103,6 +103,18 @@ class TestFitbo:
         mu, var = m.predict(x)
         assert np.corrcoef(np.asarray(mu), np.asarray(y))[0, 1] > 0.99
 
+    def test_all_negative_observations(self):
+        # regression (ADVICE r1, high): alpha < 0 made padded rows warp to
+        # sqrt(negative) = NaN, poisoning the masked MLL and all predictions
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(-1, 1, (10, 3)), jnp.float32)
+        y = jnp.asarray(-1.0 - rng.uniform(0, 5, 10), jnp.float32)
+        m = FitboGP(x, y, fit_iters=20)
+        assert float(m.alpha) < 0
+        mu, var = m.predict(x)
+        assert np.all(np.isfinite(np.asarray(mu)))
+        assert np.all(np.isfinite(np.asarray(var)))
+
     def test_wsabil_vs_wsabim(self):
         x, ll = _loglik_data(30)
         y = jnp.exp(ll)
