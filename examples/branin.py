@@ -1,4 +1,4 @@
-"""Quick-start: product-Branin on [-10,10]^2 (tutorial 00).
+"""Quick-start: product-Branin on [-2,3]^2 (tutorial 00).
 Ground truth maximum: 10.6043 at (-1.0254, -1.0254)."""
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))

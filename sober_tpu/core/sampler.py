@@ -193,13 +193,17 @@ class EmpiricalSampler(RecombinationSampler):
         (SOBER/_sampler.py:263-323)."""
         assert n_rec > n_nys
 
+        # the reference retries recursive_sampling up to self.thresh times
+        # (n_nys after the prior update — SOBER/_sampler.py:292-315); round-1
+        # hardcoded 5, giving up and falling back to uniform weights far
+        # sooner in sparse-acceptance regimes (ADVICE r1)
         x_cand, xi, weights = self._draw(n_rec)
         if bool(check_weights(weights, self.thresh)):
             self.update_prior(xi if xi is not None else x_cand, weights)
             self.thresh = n_nys
-            out = self.recursive_sampling(n_rec, n_repeat=5)
+            out = self.recursive_sampling(n_rec, n_repeat=self.thresh)
         else:
-            out = self.recursive_sampling(n_rec, n_repeat=5)
+            out = self.recursive_sampling(n_rec, n_repeat=self.thresh)
             if self.flag:
                 x_cand, weights = out[0], out[-1]
                 self.thresh = self.thresh_initial
@@ -207,7 +211,7 @@ class EmpiricalSampler(RecombinationSampler):
             xj = out[1] if self.check_categorical() else out[0]
             self.update_prior(xj, out[-1])
             self.thresh = n_nys
-            out = self.recursive_sampling(n_rec, n_repeat=5)
+            out = self.recursive_sampling(n_rec, n_repeat=self.thresh)
         x_cand, weights = out[0], out[-1]
         x_nys = self._select_nys(x_cand, weights, n_nys)
         self.thresh = self.thresh_initial

@@ -25,7 +25,7 @@ def ackley(x: jax.Array) -> jax.Array:
 
 def branin_product(x: jax.Array) -> jax.Array:
     """The quick-start 'Branin' product function
-    (experiments/_synthetic_function.py:24-26); on [-10, 10]^2 its maximum is
+    (experiments/_synthetic_function.py:24-26); on [-2, 3]^2 its maximum is
     10.6043 at x = (-1.0254, -1.0254) (tutorial 00 markdown)."""
     x = jnp.atleast_2d(x)
     num = (jnp.sin(x) + jnp.cos(3 * x) / 2.0) ** 2
@@ -81,13 +81,16 @@ def shekel(x: jax.Array) -> jax.Array:
     return jnp.sum(1.0 / (d2 + _SHEKEL_BETA[None]), axis=1)
 
 
-def setup_branin():
-    """Quick-start setup (tutorial 00): Uniform prior on [-10,10]^2 with the
-    product-Branin objective."""
+def setup_branin(seed: int = 0):
+    """Quick-start setup (tutorial 00): Uniform prior on [-2,3]^2 with the
+    product-Branin objective (reference tutorials 00/01/07/08 all use
+    bounds = [[-2,-2],[3,3]]; the recorded baseline trajectory — 10.6043 in
+    5 batches — is on this domain). `seed` scrambles the prior's Sobol
+    stream so multi-seed acceptance runs vary the initial design."""
     from ..priors.continuous import Uniform
 
-    bounds = jnp.array([[-10.0, -10.0], [10.0, 10.0]])
-    return Uniform(bounds), branin_product
+    bounds = jnp.array([[-2.0, -2.0], [3.0, 3.0]])
+    return Uniform(bounds, seed=seed), branin_product
 
 
 def setup_ackley():
@@ -99,20 +102,20 @@ def setup_ackley():
     return prior, ackley
 
 
-def setup_hartmann():
+def setup_hartmann(seed: int = 0):
     """experiments/_hartmann.py: 6 continuous dims on [0,1]."""
     from ..priors.continuous import Uniform
 
     bounds = jnp.vstack([jnp.zeros(6), jnp.ones(6)])
-    return Uniform(bounds), hartmann6
+    return Uniform(bounds, seed=seed), hartmann6
 
 
-def setup_shekel():
+def setup_shekel(seed: int = 0):
     """experiments/_shekel.py: 4 continuous dims on [0,10]."""
     from ..priors.continuous import Uniform
 
     bounds = jnp.vstack([jnp.zeros(4), 10.0 * jnp.ones(4)])
-    return Uniform(bounds), shekel
+    return Uniform(bounds, seed=seed), shekel
 
 
 def setup_rosenbrock():

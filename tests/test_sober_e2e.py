@@ -51,10 +51,9 @@ class TestBraninLoop:
     def test_converges_to_optimum(self):
         """Standard-config convergence (examples/ackley.py:68-72 scale:
         n_init=100, n_rec=20000, n_nys=500): reaches the global basin
-        (>10, optimum 10.6043) within 3 batches — verified robust across
-        seeds 0-2. (The reference notebook's 5-batch run from n_init=10 is
-        a single recorded trajectory; tiny-init runs are luck-dependent
-        for any PI-based method.)"""
+        (>10, optimum 10.6043) within 3 batches. The reference notebook's
+        tiny-init config (n_init=10) is covered separately by the
+        multi-seed acceptance harness in test_acceptance.py."""
         keys = KeyRing(0)
         prior, fn = setup_branin()
         x = prior.sample(keys.next(), 100)

@@ -1,7 +1,8 @@
 """Tutorial 00 — Quick start (mirrors tutorials/00 Quick start.ipynb).
 
-Batch Bayesian optimization of the product-Branin function on [-10, 10]^2
-(ground-truth maximum 10.6043 at (-1.0254, -1.0254)) in five batches of 30.
+Batch Bayesian optimization of the product-Branin function on [-2, 3]^2
+(ground-truth maximum 10.6043 at (-1.0254, -1.0254)) in five batches of 30,
+exactly the reference notebook's config (n_init=10, n_rec=20000, n_nys=500).
 
 Run: python tutorials/00_quick_start.py
 """
@@ -28,7 +29,7 @@ y_all = true_function(x_all)
 #    pi-measure and sparsifies them by kernel recombination.
 model = fit_gp_padded(x_all, y_all)
 sober = Sober(prior, model)
-for it in range(8):  # trajectories vary; the reference notebook records one 5-batch run
+for it in range(5):  # the reference notebook's 5-batch run
     t0 = time.monotonic()
     model = fit_gp_padded(x_all, y_all)
     sober.update_model(model)
