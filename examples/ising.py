@@ -5,7 +5,13 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from sober_tpu.tasks import setup_ising
 from examples.common import run_bo_loop
 
-if __name__ == "__main__":
+
+def main(**overrides):
+    cfg = dict(n_init=100, batch_size=100, n_rec=200000, n_nys=500, n_iterations=15)
+    cfg.update(overrides)
     prior, fn = setup_ising()
-    run_bo_loop(prior, fn, n_init=100, batch_size=100, n_rec=200000,
-                n_nys=500, n_iterations=15)
+    return run_bo_loop(prior, fn, **cfg)
+
+
+if __name__ == "__main__":
+    main()

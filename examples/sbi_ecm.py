@@ -10,17 +10,19 @@ from sober_tpu.gp.warped import ScaleMmltGP
 from sober_tpu.tasks import setup_ecm_two
 from sober_tpu.utils.prng import KeyRing
 
-if __name__ == "__main__":
+
+def main(n_init=100, n_iterations=10, n_rec=4096, n_nys=256, batch_size=50,
+         n_quad=8192, n_quad_nys=256, n_nodes=64):
     keys = KeyRing(0)
     prior, sim = setup_ecm_two()
-    x_all = prior.sample(keys.next(), 100)
+    x_all = prior.sample(keys.next(), n_init)
     d_all, ll_all = sim(x_all)
     model = fit_gp(x_all, d_all)
     sober = Sober(prior, model)
-    for it in range(10):
+    for it in range(n_iterations):
         model = fit_gp(x_all, d_all)
         sober.update_model(model)
-        xb = sober.next_batch(4096, 256, 50)
+        xb = sober.next_batch(n_rec, n_nys, batch_size)
         db, llb = sim(xb)
         x_all = jnp.concatenate([x_all, xb])
         d_all = jnp.concatenate([d_all, db])
@@ -28,8 +30,13 @@ if __name__ == "__main__":
         print(f"{len(x_all)}) best discrepancy: {float(d_all.max()):.4f}")
     bq_model = ScaleMmltGP(x_all, ll_all)
     basq = BASQ(prior, bq_model, sober)
-    elml, avlml = basq.quadrature(8192, 256, 64)
+    elml, avlml = basq.quadrature(n_quad, n_quad_nys, n_nodes)
     posterior_samples = basq.sampling_posterior(500)
     map_est = basq.MAP(2000)
     print("MAP estimate:", map_est)
     print("true params:  [ 2.  -0.5 -1.   0.   0.5]")
+    return map_est
+
+
+if __name__ == "__main__":
+    main()

@@ -59,11 +59,15 @@ class BASQ:
                                extra_test_rows=mean_row)
         x = x_cand[idx]
         eml = w @ self.pred_mean(x)
+        # evidence is kept in LOG space (ADVICE r1): the reference stores
+        # EML = exp(beta) in its non-positive fallback
+        # (SOBER/BASQ/_basq.py:71-74), which in fp32 overflows to inf for
+        # beta > ~88 and zeroes every posterior call
         if float(eml) <= 0:
             elml = self.beta
-            self.EML = jnp.exp(self.beta)
+            self.log_EML = jnp.asarray(self.beta, jnp.float32)
         else:
-            self.EML = eml
+            self.log_EML = jnp.log(eml)
             elml = jnp.log(eml) + self.beta
         avlml = jnp.log(jnp.abs(w @ self.kernel(x, x) @ w))
         if self.verbose:
@@ -71,22 +75,40 @@ class BASQ:
             print(f"Variance log marginal likelihood: {float(avlml):.5e}")
         return float(elml), float(avlml)
 
+    @property
+    def EML(self):
+        """g-space evidence (reference attribute, SOBER/BASQ/_basq.py:71)."""
+        if not hasattr(self, "log_EML"):
+            raise ValueError("Evidence has not yet computed.")
+        return jnp.exp(self.log_EML)
+
+    def log_posterior(self, x) -> jax.Array:
+        """log of the estimated posterior pdf, up to fp-safe clamping."""
+        if not hasattr(self, "log_EML"):
+            raise ValueError("Evidence has not yet computed.")
+        lik_pred = jnp.maximum(self.pred_mean(x), 0.0)
+        return (jnp.log(lik_pred + 1e-38)
+                + jnp.log(self.prior.pdf(x) + 1e-38) - self.log_EML)
+
     def posterior(self, x) -> jax.Array:
         """Estimated posterior pdf (SOBER/BASQ/_basq.py:83-102)."""
-        if not hasattr(self, "EML"):
+        if not hasattr(self, "log_EML"):
             raise ValueError("Evidence has not yet computed.")
-        if float(self.EML) <= 0:
-            raise ValueError("Evidence is not positive.")
         lik_pred = jnp.maximum(self.pred_mean(x), 0.0)
-        return lik_pred * self.prior.pdf(x) / self.EML
+        return lik_pred * self.prior.pdf(x) * jnp.exp(-self.log_EML)
 
     def sampling_posterior(self, n_samples: int, ratio_super: int = 100
                            ) -> jax.Array:
-        """SIR posterior sampling (SOBER/BASQ/_basq.py:104-123)."""
+        """SIR posterior sampling (SOBER/BASQ/_basq.py:104-123).
+
+        Importance weights are formed in log space and max-shifted before
+        exponentiation — the evidence constant cancels under resampling, so
+        an extreme log_EML can't underflow the whole weight vector."""
         n_super = int(ratio_super * n_samples)
         samples = self.sampler.sample(self.keys.next(), n_super)
-        w = self.posterior(samples) / jnp.maximum(
-            self.sampler.pdf(samples), 1e-38)
+        log_w = self.log_posterior(samples) - jnp.log(
+            jnp.maximum(self.sampler.pdf(samples), 1e-38))
+        w = jnp.exp(log_w - jnp.max(log_w))
         w = cleansing_weights(w)
         idx = weighted_resampling(self.keys.next(), w, n_samples)
         return samples[idx]
@@ -94,5 +116,5 @@ class BASQ:
     def MAP(self, n_samples: int) -> jax.Array:
         """Sample-max maximum a posteriori (SOBER/BASQ/_basq.py:125-138)."""
         samples = self.sampler.sample(self.keys.next(), n_samples)
-        pdf = self.posterior(samples)
-        return samples[jnp.argmax(pdf)]
+        log_pdf = self.log_posterior(samples)
+        return samples[jnp.argmax(log_pdf)]

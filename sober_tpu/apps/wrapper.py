@@ -317,7 +317,9 @@ class SoberWrapper:
             "y_std": self.Y_all_std,
             "key": jax.random.key_data(self.keys._key),
         }, metadata={"sober_iterations": self.sober_iterations,
-                     "results": self.results})
+                     "results": self.results,
+                     "total_sober_iterations": self.total_sober_iterations,
+                     "total_model_samples": self.total_model_samples})
 
     def load_state(self, path: str):
         """Resume from a save_state checkpoint and refit the surrogate."""
@@ -332,6 +334,14 @@ class SoberWrapper:
         self.keys._key = state["key"]
         self.sober_iterations = meta["sober_iterations"]
         self.results = [list(r) for r in meta["results"]]
+        # iteration counters must resume too (ADVICE r1): without them
+        # visualize_results plots mismatched x/y lengths after a resume and
+        # total_model_samples restarts from 0 while results keeps appending.
+        # Older checkpoints lack the keys — rebuild from results.
+        self.total_sober_iterations = int(meta.get(
+            "total_sober_iterations", len(self.results)))
+        self.total_model_samples = [int(v) for v in meta.get(
+            "total_model_samples", range(1, len(self.results) + 1))]
         self.set_rbf_model(self.X_all, self.Y_all, use_bolfi=self.use_bolfi)
         self.sober = Sober(self.prior, self.surrogate_model)
 

@@ -255,6 +255,13 @@ def fitbo_mll(theta_log: jax.Array, x: jax.Array, fobs: jax.Array,
     return jnp.where(jnp.isfinite(mll), mll, EPS_LML)
 
 
+# module-level jitted sweep: a fresh jax.jit wrapper per call would retrace
+# and recompile the 1000-theta batched Cholesky on every FBGP refit
+# (ADVICE r1 / CLAUDE.md jit-cache stability invariant)
+_fitbo_mll_sweep = jax.jit(
+    jax.vmap(fitbo_mll, in_axes=(0, None, None, None, None)))
+
+
 def sampling_hypers(model: FitboGP, hyperprior: RBFHyperPrior,
                     n_hypers: int = 1000, key=None, use_map: bool = False):
     """Evaluate the LML over hypersamples — one vmapped batched Cholesky
@@ -281,8 +288,7 @@ def sampling_hypers(model: FitboGP, hyperprior: RBFHyperPrior,
         jnp.concatenate([jnp.array([-10.0]), jnp.log(theta_map)])[None, :],
         samples,
     ])
-    lmls = jax.jit(jax.vmap(fitbo_mll, in_axes=(0, None, None, None, None)))(
-        samples, x, fobs, eta, mask)
+    lmls = _fitbo_mll_sweep(samples, x, fobs, eta, mask)
     big = jnp.exp(samples)
     # original-space hypersamples: Theta[0] = eta + exp(theta[0])
     # (log_to_exp_transform, SOBER/FBGP/_fully_Bayesian_gp.py:112-124)
@@ -358,6 +364,30 @@ class _ChainCache(NamedTuple):
     alpha: jax.Array   # (q, n)
 
 
+def _chain_cache(theta, x, fobs, mask):
+    """One chain's conditioning cache: Cholesky of K+noise and alpha on the
+    WSABI-warped targets (pure function so the vmapped sweep below compiles
+    once per observation-bucket shape rather than per FBGP refit)."""
+    eta_h, noise, ls, os_ = theta[0], theta[1], theta[2], theta[3]
+    gobs = jnp.sign(eta_h) * jnp.sqrt(
+        jnp.maximum(2.0 * (eta_h - fobs), 0.0))
+    params = {"lengthscale": ls, "outputscale": os_}
+    kxx = rbf_gram(params, x, x)
+    if mask is not None:
+        gobs = gobs * mask
+        mm = mask[:, None] * mask[None, :]
+        kn = kxx * mm + noise * jnp.diag(mask) + jnp.diag(1.0 - mask)
+    else:
+        kn = kxx + noise * jnp.eye(x.shape[0], dtype=x.dtype)
+    chol, _ = jitter_cholesky(kn)
+    alpha = cho_solve((chol, True), gobs)
+    return chol, alpha
+
+
+_chain_cache_sweep = jax.jit(
+    jax.vmap(_chain_cache, in_axes=(0, None, None, None)))
+
+
 class FullyBayesianGP:
     """Distilled-hyperposterior GP: predictions marginalized over n_qd
     hypersample chains, each with a cached Cholesky factor."""
@@ -374,26 +404,8 @@ class FullyBayesianGP:
         self._build_caches()
 
     def _build_caches(self):
-        x, fobs, mask = self.Xobs, self.fobs, self.mask
-
-        def build(theta):
-            eta_h, noise, ls, os_ = theta[0], theta[1], theta[2], theta[3]
-            gobs = jnp.sign(eta_h) * jnp.sqrt(
-                jnp.maximum(2.0 * (eta_h - fobs), 0.0))
-            params = {"lengthscale": ls, "outputscale": os_}
-            kxx = rbf_gram(params, x, x)
-            if mask is not None:
-                gobs = gobs * mask
-                mm = mask[:, None] * mask[None, :]
-                kn = kxx * mm + noise * jnp.diag(mask) \
-                    + jnp.diag(1.0 - mask)
-            else:
-                kn = kxx + noise * jnp.eye(x.shape[0], dtype=x.dtype)
-            chol, _ = jitter_cholesky(kn)
-            alpha = cho_solve((chol, True), gobs)
-            return chol, alpha
-
-        chol, alpha = jax.jit(jax.vmap(build))(self.Theta_qd)
+        chol, alpha = _chain_cache_sweep(
+            self.Theta_qd, self.Xobs, self.fobs, self.mask)
         self._cache = _ChainCache(chol, alpha)
 
     def fitbo_predict(self, x_test, theta, chol, alpha):

@@ -201,6 +201,10 @@ class TestWrapperCheckpoint:
         assert w2.X_all.shape == w.X_all.shape
         assert np.allclose(np.asarray(w2.Y_all), np.asarray(w.Y_all))
         assert w2.sober_iterations == w.sober_iterations
+        # iteration counters resume too (ADVICE r1): without them
+        # visualize_results x/y lengths diverge after resume
+        assert w2.total_sober_iterations == w.total_sober_iterations
+        assert w2.total_model_samples == w.total_model_samples
         # the resumed wrapper can continue optimizing
         w2.run_SOBER(sober_iterations=1, model_samples_per_iteration=8,
                      surrogate_samples=256, surrogate_effective_samples=32,

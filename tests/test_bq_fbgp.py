@@ -94,6 +94,33 @@ class TestBASQEvidence:
         map_est = basq.MAP(500)
         assert abs(float(map_est[0])) < 0.5
 
+    def test_huge_loglik_no_overflow(self):
+        """Regression (ADVICE r1): beta = max log-lik > 88 used to overflow
+        exp(beta) in fp32, zeroing posterior() and degenerating SIR to
+        uniform. Log-space evidence keeps the posterior machinery working."""
+        from sober_tpu import Sober
+        from sober_tpu.apps.basq import BASQ
+        from sober_tpu.priors import Uniform
+        from sober_tpu.utils.prng import KeyRing
+
+        keys = KeyRing(0)
+        prior = Uniform(jnp.array([[-3.0], [3.0]]))
+        x = prior.sample(keys.next(), 100)
+        loglik = 500.0 - 0.5 * (x[:, 0] / 0.7) ** 2  # beta ~ 500
+        model = ScaleMmltGP(x, loglik)
+        sober = Sober(prior, model)
+        sober.next_batch(512, 64, 8)
+        basq = BASQ(prior, model, sober, verbose=False)
+        elml, avlml = basq.quadrature(2048, 128, 32)
+        truth = 500.0 + np.log(np.sqrt(2 * np.pi) * 0.7 / 6.0)
+        assert np.isfinite(elml) and abs(elml - truth) < 0.5
+        samples = basq.sampling_posterior(200)
+        # posterior concentrated near 0, NOT uniform over [-3,3]
+        assert abs(float(samples.mean())) < 0.3
+        assert float(jnp.std(samples)) < 1.5
+        map_est = basq.MAP(500)
+        assert abs(float(map_est[0])) < 0.5
+
 
 class TestFitbo:
     def test_predict_matches_observations(self):

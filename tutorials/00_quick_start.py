@@ -16,28 +16,36 @@ from sober_tpu.gp.exact import fit_gp_padded
 from sober_tpu.tasks import setup_branin
 from sober_tpu.utils.prng import KeyRing
 
-# 1. The task: a prior over the domain and a black-box objective.
-keys = KeyRing(0)
-prior, true_function = setup_branin()
 
-# 2. Initial design: 10 quasi-random (Sobol) samples.
-x_all = prior.sample(keys.next(), 10)
-y_all = true_function(x_all)
+def main(n_init=10, n_iterations=5, n_rec=20000, n_nys=500, batch_size=30):
+    # 1. The task: a prior over the domain and a black-box objective.
+    keys = KeyRing(0)
+    prior, true_function = setup_branin()
 
-# 3. The loop: fit a GP surrogate, ask SOBER for a diverse batch of 30,
-#    evaluate, repeat. next_batch draws 20k candidates from the learned
-#    pi-measure and sparsifies them by kernel recombination.
-model = fit_gp_padded(x_all, y_all)
-sober = Sober(prior, model)
-for it in range(5):  # the reference notebook's 5-batch run
-    t0 = time.monotonic()
+    # 2. Initial design: quasi-random (Sobol) samples.
+    x_all = prior.sample(keys.next(), n_init)
+    y_all = true_function(x_all)
+
+    # 3. The loop: fit a GP surrogate, ask SOBER for a diverse batch,
+    #    evaluate, repeat. next_batch draws n_rec candidates from the
+    #    learned pi-measure and sparsifies them by kernel recombination.
     model = fit_gp_padded(x_all, y_all)
-    sober.update_model(model)
-    x_batch = sober.next_batch(n_rec=20000, n_nys=500, batch_size=30)
-    y_batch = true_function(x_batch)
-    x_all = jnp.concatenate([x_all, x_batch])
-    y_all = jnp.concatenate([y_all, y_batch])
-    print(f"{len(x_all)}) Best value: {float(y_all.max()):.5e} "
-          f"({time.monotonic()-t0:.2f}s)")
+    sober = Sober(prior, model)
+    for it in range(n_iterations):
+        t0 = time.monotonic()
+        model = fit_gp_padded(x_all, y_all)
+        sober.update_model(model)
+        x_batch = sober.next_batch(n_rec=n_rec, n_nys=n_nys,
+                                   batch_size=batch_size)
+        y_batch = true_function(x_batch)
+        x_all = jnp.concatenate([x_all, x_batch])
+        y_all = jnp.concatenate([y_all, y_batch])
+        print(f"{len(x_all)}) Best value: {float(y_all.max()):.5e} "
+              f"({time.monotonic()-t0:.2f}s)")
 
-print("Ground truth: 1.06043e+01")
+    print("Ground truth: 1.06043e+01")
+    return float(y_all.max())
+
+
+if __name__ == "__main__":
+    main()

@@ -27,27 +27,34 @@ from sober_tpu.tasks import setup_branin
 from sober_tpu.utils.prng import KeyRing
 from sober_tpu.utils.weights import cleansing_weights
 
-keys = KeyRing(0)
-prior, f = setup_branin()
-x_obs = prior.sample(keys.next(), 50)
-model = fit_gp_padded(x_obs, f(x_obs))
+def main(n_init=50, n_rec=5000, n_nys=200, batch_size=20):
+    keys = KeyRing(0)
+    prior, f = setup_branin()
+    x_obs = prior.sample(keys.next(), n_init)
+    model = fit_gp_padded(x_obs, f(x_obs))
 
-# Stage 1-2: pi-importance weights over a candidate pool
-pi = PI(model)
-x_cand = prior.sample(keys.next(), 5000)
-weights = cleansing_weights(pi(x_cand) / prior.pdf(x_cand))
-print(f"pi weights: {int((weights > 0).sum())} of {len(weights)} nonzero, "
-      f"eta = {float(pi.eta):.3f}")
+    # Stage 1-2: pi-importance weights over a candidate pool
+    pi = PI(model)
+    x_cand = prior.sample(keys.next(), n_rec)
+    weights = cleansing_weights(pi(x_cand) / prior.pdf(x_cand))
+    print(f"pi weights: {int((weights > 0).sum())} of {len(weights)} nonzero, "
+          f"eta = {float(pi.eta):.3f}")
 
-# Stage 4-5: Nystrom subset + recombination
-kernel = RecombinationKernel(model, mode="predictive_covariance")
-x_nys = x_cand[np.argsort(-np.asarray(weights))[:200]]
-idx, w = recombination(x_cand, x_nys, 20, kernel, init_weights=weights)
-print(f"batch of {int((w > 0).sum())} points, sum of quadrature weights = "
-      f"{float(w.sum()):.4f}")
-print("batch spread (std):", np.asarray(x_cand[idx]).std(0).round(2))
+    # Stage 4-5: Nystrom subset + recombination
+    kernel = RecombinationKernel(model, mode="predictive_covariance")
+    x_nys = x_cand[np.argsort(-np.asarray(weights))[:n_nys]]
+    idx, w = recombination(x_cand, x_nys, batch_size, kernel,
+                           init_weights=weights)
+    print(f"batch of {int((w > 0).sum())} points, sum of quadrature weights = "
+          f"{float(w.sum()):.4f}")
+    print("batch spread (std):", np.asarray(x_cand[idx]).std(0).round(2))
 
-# The full pipeline is Sober.next_batch:
-sober = Sober(prior, model)
-x_batch = sober.next_batch(5000, 200, 20)
-print("next_batch:", x_batch.shape)
+    # The full pipeline is Sober.next_batch:
+    sober = Sober(prior, model)
+    x_batch = sober.next_batch(n_rec, n_nys, batch_size)
+    print("next_batch:", x_batch.shape)
+    return x_batch
+
+
+if __name__ == "__main__":
+    main()

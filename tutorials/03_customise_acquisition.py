@@ -17,22 +17,31 @@ from sober_tpu.gp import predict
 from sober_tpu.tasks import setup_branin
 from sober_tpu.utils.prng import KeyRing
 
-keys = KeyRing(0)
-prior, f = setup_branin()
-x = prior.sample(keys.next(), 50)
-y = f(x)
-model = fit_gp_padded(x, y)
-sober = Sober(prior, model)
+def main(n_init=50, n_rec=5000, n_nys=200, batch_size=16):
+    keys = KeyRing(0)
+    prior, f = setup_branin()
+    x = prior.sample(keys.next(), n_init)
+    y = f(x)
+    model = fit_gp_padded(x, y)
+    sober = Sober(prior, model)
 
-# Any callable X -> scores works as calc_obj:
-def ucb(x_cand):
-    mu, var = predict(model, x_cand)
-    return mu + 2.0 * jnp.sqrt(var)
+    # Any callable X -> scores works as calc_obj:
+    def ucb(x_cand):
+        mu, var = predict(model, x_cand)
+        return mu + 2.0 * jnp.sqrt(var)
 
-def ei(x_cand):
-    return expected_improvement(model, float(model.y.max()), x_cand)
+    # compute the incumbent OUTSIDE the callable: calc_obj runs inside the
+    # jitted recombination program, where float() on a traced value fails
+    eta = float(model.y.max())
 
-for name, acq in [("none", None), ("UCB", ucb), ("EI", ei)]:
-    xb = sober.next_batch(5000, 200, 16, calc_obj=acq)
-    yb = f(xb)
-    print(f"calc_obj={name:<5} batch max objective: {float(yb.max()):.4f}")
+    def ei(x_cand):
+        return expected_improvement(model, eta, x_cand)
+
+    for name, acq in [("none", None), ("UCB", ucb), ("EI", ei)]:
+        xb = sober.next_batch(n_rec, n_nys, batch_size, calc_obj=acq)
+        yb = f(xb)
+        print(f"calc_obj={name:<5} batch max objective: {float(yb.max()):.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -16,27 +16,35 @@ from sober_tpu.gp.warped import ScaleMmltGP
 from sober_tpu.tasks import setup_ecm_two
 from sober_tpu.utils.prng import KeyRing
 
-keys = KeyRing(0)
-prior, simulator = setup_ecm_two()        # returns (discrepancy, loglik)
-x_all = prior.sample(keys.next(), 100)
-d_all, ll_all = simulator(x_all)
+def main(n_init=100, n_iterations=5, n_rec=4096, n_nys=256,
+         batch_size=50, n_quad=8192, n_quad_nys=256, n_nodes=64,
+         n_post=500):
+    keys = KeyRing(0)
+    prior, simulator = setup_ecm_two()        # returns (discrepancy, loglik)
+    x_all = prior.sample(keys.next(), n_init)
+    d_all, ll_all = simulator(x_all)
 
-model = fit_gp_padded(x_all, d_all)
-sober = Sober(prior, model)
-for it in range(5):
     model = fit_gp_padded(x_all, d_all)
-    sober.update_model(model)
-    xb = sober.next_batch(4096, 256, 50)
-    db, llb = simulator(xb)
-    x_all = jnp.concatenate([x_all, xb])
-    d_all = jnp.concatenate([d_all, db])
-    ll_all = jnp.concatenate([ll_all, llb])
+    sober = Sober(prior, model)
+    for it in range(n_iterations):
+        model = fit_gp_padded(x_all, d_all)
+        sober.update_model(model)
+        xb = sober.next_batch(n_rec, n_nys, batch_size)
+        db, llb = simulator(xb)
+        x_all = jnp.concatenate([x_all, xb])
+        d_all = jnp.concatenate([d_all, db])
+        ll_all = jnp.concatenate([ll_all, llb])
 
-bq_model = ScaleMmltGP(x_all, ll_all)     # doubly-warped GP on log-lik
-basq = BASQ(prior, bq_model, sober)
-log_evidence, log_var = basq.quadrature(8192, 256, 64)
-posterior_samples = basq.sampling_posterior(500)
-map_est = basq.MAP(2000)
-print("posterior mean:", np.asarray(posterior_samples).mean(0).round(2))
-print("MAP:", np.asarray(map_est).round(2))
-print("truth: [ 2.  -0.5 -1.   0.   0.5]")
+    bq_model = ScaleMmltGP(x_all, ll_all)     # doubly-warped GP on log-lik
+    basq = BASQ(prior, bq_model, sober)
+    log_evidence, log_var = basq.quadrature(n_quad, n_quad_nys, n_nodes)
+    posterior_samples = basq.sampling_posterior(n_post)
+    map_est = basq.MAP(2000)
+    print("posterior mean:", np.asarray(posterior_samples).mean(0).round(2))
+    print("MAP:", np.asarray(map_est).round(2))
+    print("truth: [ 2.  -0.5 -1.   0.   0.5]")
+    return map_est
+
+
+if __name__ == "__main__":
+    main()

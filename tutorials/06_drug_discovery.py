@@ -14,18 +14,25 @@ from sober_tpu.gp import fit_tanimoto_gp
 from sober_tpu.tasks import setup_malaria
 from sober_tpu.utils.prng import KeyRing
 
-keys = KeyRing(0)
-prior = setup_malaria()                  # ~19k molecules
-print(f"dataset: {prior.n_total} molecules x {prior.features.shape[1]} bits")
-x_all, y_all = prior.sample(keys.next(), 100)
+def main(n_init=100, n_iterations=3, n_rec=2000, n_nys=500,
+         batch_size=100):
+    keys = KeyRing(0)
+    prior = setup_malaria()                  # ~19k molecules
+    print(f"dataset: {prior.n_total} molecules x {prior.features.shape[1]} bits")
+    x_all, y_all = prior.sample(keys.next(), n_init)
 
-for it in range(3):
-    model = fit_tanimoto_gp(x_all, y_all)
-    sober = Sober(prior, model,
-                  kernel_type="weighted_predictive_covariance")
-    idx_batch, x_batch = sober.next_batch(2000, 500, 100)
-    y_batch = prior.query(idx_batch)     # consume the queried rows
-    x_all = jnp.concatenate([x_all, x_batch])
-    y_all = jnp.concatenate([y_all, y_batch])
-    print(f"{len(x_all)}) best activity: {float(y_all.max()):.4f} "
-          f"(remaining pool: {prior.n_available})")
+    for it in range(n_iterations):
+        model = fit_tanimoto_gp(x_all, y_all)
+        sober = Sober(prior, model,
+                      kernel_type="weighted_predictive_covariance")
+        idx_batch, x_batch = sober.next_batch(n_rec, n_nys, batch_size)
+        y_batch = prior.query(idx_batch)     # consume the queried rows
+        x_all = jnp.concatenate([x_all, x_batch])
+        y_all = jnp.concatenate([y_all, y_batch])
+        print(f"{len(x_all)}) best activity: {float(y_all.max()):.4f} "
+              f"(remaining pool: {prior.n_available})")
+    return float(y_all.max())
+
+
+if __name__ == "__main__":
+    main()

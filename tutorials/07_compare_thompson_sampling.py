@@ -37,6 +37,13 @@ def run(method, n_iter=4, batch=25):
     return float(y.max())
 
 
-if __name__ == "__main__":
+def main(n_iter=4, batch=25):
+    results = {}
     for m in ["sober", "ts", "dts", "sober_ts"]:
-        print(f"{m:>9}: best = {run(m):.4f}  (truth 10.6043)")
+        results[m] = run(m, n_iter=n_iter, batch=batch)
+        print(f"{m:>9}: best = {results[m]:.4f}  (truth 10.6043)")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,19 @@ METHODS = {
                                             n_cand=1024, n_nys=128),
 }
 
-if __name__ == "__main__":
+def main(batch=None, pool=None, iters=None, methods=None):
+    global BATCH, POOL, ITERS
+    if batch is not None: BATCH = batch
+    if pool is not None: POOL = pool
+    if iters is not None: ITERS = iters
+    results = {}
     for name, acq in METHODS.items():
-        print(f"{name:>14}: best = {loop(acq):.4f}  (truth 10.6043)")
+        if methods is not None and name not in methods:
+            continue
+        results[name] = loop(acq)
+        print(f"{name:>14}: best = {results[name]:.4f}  (truth 10.6043)")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -18,12 +18,21 @@ def model_fn(theta, **kwargs):
     theta = np.atleast_2d(np.asarray(theta))
     return (theta**2).sum(axis=1)          # pretend simulator
 
-bounds = jnp.array([[-2.0, -2.0], [2.0, 2.0]])
-wrapper = SoberWrapper(model=model_fn, data=np.zeros(1),
-                       model_initial_samples=30, bounds=bounds,
-                       use_bolfi=True, parallelization=False, seed=0)
-wrapper.run_SOBER(sober_iterations=3, model_samples_per_iteration=16,
-                  surrogate_samples=2048, surrogate_effective_samples=64,
-                  verbose=True)
-samples, MAP, best, elml, avlml = wrapper.run_BASQ(32, verbose=False)
-print("MAP (should be near the origin):", np.asarray(MAP).round(3))
+def main(n_init=30, n_iterations=3, batch_size=16, n_rec=2048,
+         n_nys=64, n_nodes=32):
+    bounds = jnp.array([[-2.0, -2.0], [2.0, 2.0]])
+    wrapper = SoberWrapper(model=model_fn, data=np.zeros(1),
+                           model_initial_samples=n_init, bounds=bounds,
+                           use_bolfi=True, parallelization=False, seed=0)
+    wrapper.run_SOBER(sober_iterations=n_iterations,
+                      model_samples_per_iteration=batch_size,
+                      surrogate_samples=n_rec,
+                      surrogate_effective_samples=n_nys,
+                      verbose=True)
+    samples, MAP, best, elml, avlml = wrapper.run_BASQ(n_nodes, verbose=False)
+    print("MAP (should be near the origin):", np.asarray(MAP).round(3))
+    return MAP
+
+
+if __name__ == "__main__":
+    main()
