@@ -1,14 +1,24 @@
-"""Headline benchmark: one full batch-BO iteration on one chip.
+"""Benchmarks: full batch-BO iterations on one chip, at three scales.
 
-Measures GP MAP-fit + pi-importance weighting + kernel recombination at the
-BASELINE.md north-star configuration (n_cand=65536, batch=200, n_nys=512)
-and prints ONE JSON line.
+Prints one JSON line per metric (headline first):
 
-vs_baseline compares against the reference's best recorded full-iteration
-wall-clock, 4.898 s (tutorials/00 Quick start.ipynb stored outputs,
-BASELINE.md) — measured there at batch=30, n_rec=20k on CPU; this
-configuration is ~3.3x more candidates and ~6.7x larger batch, so the ratio
-understates the true speedup.
+  1. full_bo_iteration_65k_batch200 — the BASELINE.md north-star config
+     (n_cand=65536, batch=200, n_nys=512): GP MAP-fit + pi weighting +
+     kernel recombination, all inside one jitted program.
+  2. full_bo_iteration_200k_batch100 — the reference's largest continuous
+     config (n_rec=200,000: /root/reference/examples/shekel.py:69,
+     ising.py:69).
+  3. dataset_iteration_133k_2048 — solvent-scale dataset-as-domain
+     iteration (133,303 x 2048-bit fingerprints, tutorial 06): Tanimoto GP
+     fit + pi over the whole pool + adaptive pruning + recombination via
+     Sober.next_batch.
+
+vs_baseline for all three compares against the reference's best recorded
+full-iteration wall-clock, 4.898 s (tutorials/00 Quick start.ipynb stored
+outputs, BASELINE.md) — measured there at batch=30, n_rec=20k on CPU. Every
+config here is substantially heavier than that measurement, so the ratios
+understate the true speedup (the reference records no wall-clock at these
+scales; SURVEY.md §6).
 """
 import json
 import time
@@ -17,16 +27,34 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+BASELINE_S = 4.898  # s, reference quick-start best iteration (BASELINE.md)
 
-def main():
-    from sober_tpu.gp import fit_gp, posterior_max_mean
-    from sober_tpu.gp.exact import GPConfig
+
+def _median_time(fn, n=5):
+    fn()  # warmup / compile
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def _emit(metric, value):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / value, 2),
+    }), flush=True)
+
+
+def bench_fused(n_cand, n_nys, batch, d, metric, n_obs=500):
+    from sober_tpu.gp import posterior_max_mean
+    from sober_tpu.gp.exact import GPConfig, build_state, fit_params
     from sober_tpu.core.fused import fused_acquisition
 
     rng = np.random.default_rng(0)
-    n_obs, d = 500, 10
-    n_cand, n_nys, batch = 65536, 512, 200
-
     x_obs = jnp.asarray(rng.uniform(-1, 1, (n_obs, d)), jnp.float32)
     y_obs = jnp.sin(3 * x_obs[:, 0]) * jnp.cos(2 * x_obs[:, 1]) \
         + 0.1 * jnp.asarray(rng.normal(size=n_obs), jnp.float32)
@@ -34,8 +62,6 @@ def main():
     x_nys = x_cand[:n_nys]
     prior_pdf = jnp.full((n_cand,), 1.0 / 2.0**d)
     cfg = GPConfig(fit_iters=100)
-
-    from sober_tpu.gp.exact import build_state, fit_params
 
     @jax.jit
     def full_iteration(x_obs, y_obs, x_cand, x_nys, prior_pdf):
@@ -47,26 +73,49 @@ def main():
                                       batch)
         return idx, w
 
-    # warmup / compile
     idx, w = jax.block_until_ready(
         full_iteration(x_obs, y_obs, x_cand, x_nys, prior_pdf))
     assert bool(jnp.all(w >= 0)) and abs(float(w.sum()) - 1.0) < 1e-2
 
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        jax.block_until_ready(
-            full_iteration(x_obs, y_obs, x_cand, x_nys, prior_pdf))
-        times.append(time.perf_counter() - t0)
-    value = float(np.median(times))
+    value = _median_time(lambda: jax.block_until_ready(
+        full_iteration(x_obs, y_obs, x_cand, x_nys, prior_pdf)))
+    _emit(metric, value)
 
-    baseline = 4.898  # s, reference quick-start best iteration (BASELINE.md)
-    print(json.dumps({
-        "metric": "full_bo_iteration_65k_batch200",
-        "value": round(value, 4),
-        "unit": "s",
-        "vs_baseline": round(baseline / value, 2),
-    }))
+
+def bench_dataset(n_total=133303, n_bits=2048, n_obs=512, n_rec=2000,
+                  n_nys=500, batch=100):
+    """Solvent-scale screening iteration (tutorial 06 config on the full
+    133,303-molecule pool; fingerprints synthesized at the dataset's
+    sparsity since the raw CSV isn't shipped here)."""
+    from sober_tpu import Sober
+    from sober_tpu.gp import fit_tanimoto_gp
+    from sober_tpu.priors.dataset import DatasetPrior
+    from sober_tpu.utils.prng import KeyRing
+
+    rng = np.random.default_rng(0)
+    # ~2.5% bit density, typical of 2048-bit Morgan fingerprints
+    feats = (rng.random((n_total, n_bits)) < 0.025).astype(np.float32)
+    targets = jnp.asarray(rng.normal(size=n_total), jnp.float32)
+    prior = DatasetPrior(feats, targets)
+    keys = KeyRing(0)
+    x_obs, y_obs = prior.sample(keys.next(), n_obs)
+    model = fit_tanimoto_gp(x_obs, y_obs)
+    sober = Sober(prior, model,
+                  kernel_type="weighted_predictive_covariance")
+    sober.update_model(model)
+
+    def iteration():
+        idx, xb = sober.next_batch(n_rec, n_nys, batch)
+        jax.block_until_ready(xb)
+
+    value = _median_time(iteration)
+    _emit(f"dataset_iteration_{n_total // 1000}k_{n_bits}", value)
+
+
+def main():
+    bench_fused(65536, 512, 200, 10, "full_bo_iteration_65k_batch200")
+    bench_fused(200000, 500, 100, 4, "full_bo_iteration_200k_batch100")
+    bench_dataset()
 
 
 if __name__ == "__main__":
