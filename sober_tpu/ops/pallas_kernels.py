@@ -16,11 +16,22 @@ kernel:
 A fused RBF Gram kernel (distance + exp epilogue in one tile) covers the
 continuous-domain strips.
 
-Measured on one v5e at solvent scale (512 x 131072 x 2048 bits): 37.8 ms vs
-XLA's 34.5 ms — XLA's automatic fusion already reaches the same roofline for
-these shapes, so the default compute path (ops/kernels.py) stays on XLA and
-these kernels document the hand-scheduled alternative (and the int8 upgrade
-path once Mosaic accepts integer tpu.matmul).
+Measured on one v5e at solvent scale (512 x 131072 x 2048 bits), amortized
+over chained evals to exclude the ~27 ms axon-tunnel round-trip (round-1's
+"37.8 vs 34.5 ms" numbers were tunnel-dominated):
+
+  * XLA fp32-highest pass:  9.1 ms/eval
+  * this Pallas fp32 kernel: 9.2 ms/eval (ties XLA's fusion)
+  * XLA single bf16 MXU pass with fp32 accumulation: 1.8 ms/eval — exact
+    for 0/1 operands (every product is representable; counts < 2^24) and
+    ~78% of the chip's peak bf16 throughput.
+
+The bf16 single-pass is therefore the default tanimoto_gram path
+(ops/kernels.py). Mosaic on this toolchain still rejects bf16/int8
+tpu.matmul operands, so a Pallas kernel cannot express that schedule; these
+fp32 kernels document the hand-tiled alternative and the upgrade path once
+integer/bf16 MXU lands (bit-packed uint32 + in-tile unpack would then cut
+HBM traffic another 32x, though at 1.8 ms the op is already compute-bound).
 """
 from __future__ import annotations
 
