@@ -142,15 +142,57 @@ def multivariate_normal_cdf(value: jax.Array, loc: jax.Array,
     return vals.reshape(value.shape[:-1])
 
 
-@multivariate_normal_cdf.defjvp
+def _pair_pdf(b, cov, i, j):
+    """Bivariate normal density at (b_i, b_j) under the (i,j) marginal of
+    N(0, cov) (reference phi2_sub, SOBER/mvnorm/Phi.py:19-28)."""
+    sii, sjj, sij = cov[i, i], cov[j, j], cov[i, j]
+    det = jnp.maximum(sii * sjj - sij**2, 1e-30)
+    quad = (sjj * b[..., i] ** 2 + sii * b[..., j] ** 2
+            - 2.0 * sij * b[..., i] * b[..., j]) / det
+    return jnp.exp(-0.5 * quad) / (2.0 * jnp.pi * jnp.sqrt(det))
+
+
+def _second_order_cdf(b, cov, i, j, d, n_qmc):
+    """Phi_{d-2} of the remaining coords conditioned on X_i=b_i, X_j=b_j
+    (reference's nested make_condition, SOBER/mvnorm/Phi.py:62-69)."""
+    if d == 2:
+        return jnp.ones(b.shape[:-1])
+    others = jnp.asarray([k for k in range(d) if k not in (i, j)])
+    pair = jnp.asarray([i, j])
+    cov_pp = cov[jnp.ix_(pair, pair)]                       # (2, 2)
+    cov_op = cov[jnp.ix_(others, pair)]                     # (d-2, 2)
+    cov_oo = cov[jnp.ix_(others, others)]
+    prec_pp = jnp.linalg.inv(cov_pp)
+    gain = cov_op @ prec_pp                                 # (d-2, 2)
+    b_pair = jnp.stack([b[..., i], b[..., j]], axis=-1)     # (..., 2)
+    mu_cond = jnp.einsum("ok,...k->...o", gain, b_pair)
+    cov_cond = cov_oo - gain @ cov_op.T
+    return multivariate_normal_cdf(
+        b[..., others] - mu_cond, jnp.zeros(d - 2), cov_cond,
+        max(n_qmc // 4, 1024))
+
+
 def _mvn_cdf_jvp(n_qmc, primals, tangents):
-    """Closed-form gradient wrt value and loc (SOBER/mvnorm/Phi.py:47-78):
-    dPhi/db_i = N(b_i; mu_i, S_ii) * Phi_{d-1}(conditional distribution).
-    Covariance tangents are not propagated (the reference's cov gradient
-    uses second-order conditioning; rarely needed — raise if requested)."""
+    """Closed-form gradients wrt value, loc AND covariance.
+
+    value/loc (SOBER/mvnorm/Phi.py:47-60):
+        dPhi/db_i = N(b_i; mu_i, S_ii) * Phi_{d-1}(conditional).
+    covariance (SOBER/mvnorm/Phi.py:61-74, Plackett's identity
+    dPhi/dS_ij = d^2 Phi/db_i db_j for i != j, and the heat-equation
+    relation for the diagonal):
+        H_ij = N_2((b_i,b_j); S_pair) * Phi_{d-2}(second-order conditional)
+        D_i  = d^2 Phi/db_i^2 = -(b_i g_i + sum_{j!=i} H_ij S_ij) / S_ii
+        dPhi/dS = 0.5 * (H + diag(D)).
+    The covariance branch costs d(d-1)/2 extra (d-2)-dim CDFs and is only
+    evaluated when a covariance tangent is actually present
+    (symbolic_zeros)."""
     value, loc, cov = primals
     dvalue, dloc, dcov = tangents
     primal_out = multivariate_normal_cdf(value, loc, cov, n_qmc)
+
+    def is_zero(t):
+        return t is None or isinstance(
+            t, jax.custom_derivatives.SymbolicZero)
 
     value = jnp.atleast_1d(value)
     loc = jnp.broadcast_to(jnp.atleast_1d(loc), value.shape)
@@ -176,8 +218,41 @@ def _mvn_cdf_jvp(n_qmc, primals, tangents):
         return pdf_i * cdf_cond
 
     grads = jnp.stack([grad_coord(i) for i in range(d)], axis=-1)
-    dval = jnp.atleast_1d(dvalue) if dvalue is not None else jnp.zeros_like(b)
+    dval = jnp.broadcast_to(jnp.atleast_1d(dvalue), b.shape) \
+        if not is_zero(dvalue) else jnp.zeros_like(b)
     dlc = jnp.broadcast_to(jnp.atleast_1d(dloc), b.shape) \
-        if dloc is not None else jnp.zeros_like(b)
+        if not is_zero(dloc) else jnp.zeros_like(b)
     tangent_out = jnp.sum(grads * (dval - dlc), axis=-1)
+
+    if not is_zero(dcov):
+        dcov_sym = 0.5 * (dcov + dcov.T)
+        if d == 1:
+            # dPhi(b/sigma)/dS = -b/(2 S) * N(b; 0, S)
+            pdf = jnp.exp(-0.5 * (b[..., 0] / sd[0]) ** 2) / (
+                sd[0] * jnp.sqrt(2 * jnp.pi))
+            dcov_term = -0.5 * b[..., 0] / cov.reshape(())[()] \
+                * pdf * dcov_sym.reshape(())[()]
+            tangent_out = tangent_out + dcov_term
+        else:
+            batch_shape = b.shape[:-1]
+            h = jnp.zeros(batch_shape + (d, d))
+            for i in range(d):
+                for j in range(i + 1, d):
+                    hij = _pair_pdf(b, cov, i, j) * _second_order_cdf(
+                        b, cov, i, j, d, n_qmc)
+                    h = h.at[..., i, j].set(hij)
+                    h = h.at[..., j, i].set(hij)
+            # diagonal via the heat-equation relation (Phi.py:71-73)
+            hs = jnp.einsum("...ij,ij->...i", h, cov)
+            diag = -(b * grads + hs) / jnp.diagonal(cov)
+            # dPhi/dS = 0.5*(H + diag(D)); contract with symmetric tangent
+            tangent_out = tangent_out \
+                + jnp.einsum("...ij,ij->...", 0.5 * h, dcov_sym) \
+                + jnp.sum(0.5 * diag * jnp.diagonal(dcov_sym), axis=-1)
     return primal_out, tangent_out
+
+
+# symbolic_zeros: the covariance branch (d(d-1)/2 extra CDF evaluations) is
+# skipped entirely when no covariance tangent is requested — the common
+# loc/value-gradient path costs the same as before
+multivariate_normal_cdf.defjvp(_mvn_cdf_jvp, symbolic_zeros=True)
