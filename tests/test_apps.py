@@ -174,6 +174,53 @@ class TestEP:
         d = ep.distance_function(np.array([[0.3, 99.0]]))
         assert float(d[0]) < 1e-6
 
+    @pytest.mark.slow
+    def test_end_to_end_parameter_recovery(self):
+        """VERDICT r1 Weak #6: EP must actually recover the parameters of a
+        toy simulator, not just keep site bookkeeping consistent. Identity
+        simulator: each feature is one coordinate of theta, so the EP
+        posterior must contract onto theta* = (0.6, -0.4)."""
+        from sober_tpu.apps.ep import ExpectationPropagation
+
+        theta_star = np.array([0.6, -0.4])
+
+        def sim(x, **kw):
+            x = np.atleast_2d(np.asarray(x))
+            return np.stack([x[:, 0], x[:, 1]], axis=1)
+
+        def features(obs):
+            obs = np.asarray(obs)
+            return [obs[..., 0], obs[..., 1]]
+
+        bounds = jnp.array([[-1.0, -1.0], [1.0, 1.0]])
+        ep = ExpectationPropagation(
+            model=sim, data=theta_star, feature_extractor=features,
+            model_initial_samples=20, bounds=bounds,
+            parallelization=False, seed=0)
+        def to_original(mean_normalized):
+            # Q/r live in the wrapper's normalized (unit-cube, diagonalized)
+            # space, like the reference EP (_expectation_propagation.py:125)
+            x = ep.reverse_transform(ep.denormalize_input(
+                jnp.atleast_2d(jnp.asarray(mean_normalized))))
+            return np.asarray(x)[0]
+
+        prior_mean_err = float(np.abs(
+            to_original(ep.normalized_mean) - theta_star).max())
+        ep.run_Expectation_Propagation(
+            ep_iterations=2, sober_iterations=2,
+            model_samples_per_iteration=16, surrogate_samples=1024,
+            surrogate_effective_samples=64, integration_nodes=32,
+            basq_samples=1024, basq_effective_samples=64, verbose=False)
+        post_cov = np.linalg.inv(np.asarray(ep.Q))
+        post_mean = to_original(post_cov @ np.asarray(ep.r))
+        err = np.abs(post_mean - theta_star).max()
+        assert err < 0.15, (post_mean, theta_star)
+        assert err < prior_mean_err  # contracted toward the truth
+        # posterior tightened relative to the initial prior (normalized
+        # space on both sides)
+        assert np.all(np.diag(post_cov)
+                      < np.diag(np.asarray(ep.normalized_covariance)))
+
 
 class TestAdaptiveLoop:
     def test_run_sober_adaptively_stops(self):
