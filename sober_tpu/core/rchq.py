@@ -130,7 +130,9 @@ def _caratheodory(x: jax.Array, mu: jax.Array, n_elim: int,
             [rotated[:, 1:], jnp.zeros((m, 1), nmat.dtype)], axis=1)
         return mu, nmat, elim
 
-    elim0 = jnp.zeros((m,), x.dtype)
+    # derive from mu (not a fresh constant) so the carry keeps mu's varying
+    # manual axes when this runs inside a shard_map block
+    elim0 = mu * 0.0
     mu, _, elim = jax.lax.fori_loop(0, n_take, body, (mu, big_n, elim0))
     # rows outside the initial measure can only hold fp32 deflation dust
     return mu * (1.0 - elim) * active0
@@ -255,6 +257,31 @@ def _reduce_tree(phi_ext: jax.Array, obj_ext: Optional[jax.Array],
     mu_final = jnp.where(total > 0,
                          mu_final / jnp.where(total > 0, total, 1.0), mu_final)
     return mu_final
+
+
+def local_reduce(phi: jax.Array, mu: jax.Array, num_pts: int
+                 ) -> RecombinationResult:
+    """Reduce one (n_test, blk) feature strip with (unnormalized) weights mu
+    to <= num_pts support points, PRESERVING the strip's total mass and its
+    feature moments: sum w = sum mu and phi @ scatter(w) ~= phi @ mu.
+
+    This is the per-shard building block of the distributed recombination
+    (parallel/sharded.py:sharded_recombination): recombination distributes
+    over a partition of the measure, so each device reduces its own shard
+    and only the <= num_pts survivors are communicated. phi must already
+    carry any global normalization."""
+    n_rows, blk = phi.shape
+    if num_pts != n_rows + 1:
+        raise ValueError("num_pts must equal n_test + 1")
+    mass = jnp.sum(mu)
+    safe = jnp.where(mass > 0, mass, 1.0)
+    mu_n = jnp.where(mass > 0, mu / safe, mu)
+    phi_ext = jnp.concatenate(
+        [phi, jnp.zeros((n_rows, 1), phi.dtype)], axis=1)
+    mu_ext = jnp.concatenate([mu_n, jnp.zeros((1,), mu.dtype)])
+    mu_fin = _reduce_tree(phi_ext, None, mu_ext, n_rows, blk)
+    w, idx = jax.lax.top_k(mu_fin[:blk], num_pts)
+    return RecombinationResult(idx.astype(jnp.int32), w * mass)
 
 
 # ----------------------------------------------------------------------------

@@ -3,6 +3,7 @@ from .sharded import (
     sharded_pi_weights,
     sharded_nystrom_features,
     sharded_barycenter_sums,
+    sharded_recombination,
     sharded_fbgp_batch_predict,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "sharded_pi_weights",
     "sharded_nystrom_features",
     "sharded_barycenter_sums",
+    "sharded_recombination",
     "sharded_fbgp_batch_predict",
 ]

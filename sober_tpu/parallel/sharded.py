@@ -101,6 +101,71 @@ def sharded_barycenter_sums(mesh: Mesh, phi_sharded: jax.Array,
     return fn(phi_sharded, weights, group_ids)
 
 
+def sharded_recombination(mesh: Mesh, kernel, x_cand: jax.Array,
+                          x_nys: jax.Array, weights: jax.Array,
+                          num_pts: int, axis: str = "cand"):
+    """End-to-end kernel recombination with the candidate axis sharded: the
+    (n_test, n_rec) feature strip NEVER materializes replicated.
+
+    Recombination distributes over a partition of the measure — reducing
+    each shard to <= num_pts support points preserves that shard's mass and
+    feature moments exactly, so the global measure's moments are preserved
+    by construction. Schedule per device:
+
+      1. form this shard's (n_test, blk) strip of Phi = U k(X_nys, X_cand)
+         (block-row matmul, local),
+      2. normalize by the GLOBAL |Phi| max (one pmax over ICI — matches the
+         single-device scaling in core/rchq.py:366),
+      3. run the full halving reduction tree locally (core/rchq.py:
+         local_reduce) down to num_pts survivors,
+      4. all-gather only the survivors: (num_pts,) weights + indices and
+         the (n_test, num_pts) feature columns per device,
+
+    then one final replicated reduction over the n_devices*num_pts
+    survivors (tiny) picks the batch. Communication: one pmax scalar + one
+    all-gather of O(n_devices * num_pts * n_test) floats, independent of
+    n_rec. The per-device peak memory is the (n_test, n_rec/D) strip.
+
+    `kernel` is a callable or a stable-callable adapter
+    (core/rckernel.py); `weights` should be globally cleansed/normalized
+    (e.g. sharded_pi_weights output). Returns (idx (num_pts,), w (num_pts,))
+    with global indices into x_cand.
+    """
+    from ..core.rchq import local_reduce
+    from ..utils.linalg import make_psd
+
+    if hasattr(kernel, "rc_apply"):
+        k_apply, k_tree = kernel.rc_apply, kernel.rc_tree
+    else:
+        k_apply, k_tree = (lambda _, x, y: kernel(x, y)), None
+
+    n_test = num_pts - 1
+    k_nys = make_psd(k_apply(k_tree, x_nys, x_nys))
+    _, eigvecs = jnp.linalg.eigh(k_nys)
+    u = eigvecs[:, -n_test:].T                              # (n_test, n_nys)
+
+    def block(k_tree, u, x_nys, x_blk, w_blk):
+        phi_blk = u @ k_apply(k_tree, x_nys, x_blk)         # (n_test, blk)
+        gmax = jax.lax.pmax(jnp.max(jnp.abs(phi_blk)), axis)
+        phi_blk = phi_blk / jnp.maximum(gmax, 1e-30)
+        idx_loc, w_loc = local_reduce(phi_blk, w_blk, num_pts)
+        shard = jax.lax.axis_index(axis)
+        idx_glob = idx_loc + shard * x_blk.shape[0]
+        phi_surv = phi_blk[:, idx_loc]                      # (n_test, num_pts)
+        return idx_glob, w_loc, phi_surv
+
+    fn = shard_map(
+        block, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis, None), P(axis)),
+        out_specs=(P(axis), P(axis), P(None, axis)),
+    )
+    idx_surv, w_surv, phi_surv = fn(k_tree, u, x_nys, x_cand, weights)
+
+    # final replicated merge over n_devices * num_pts survivors (tiny)
+    idx_fin, w_fin = local_reduce(phi_surv, w_surv, num_pts)
+    return idx_surv[idx_fin], w_fin
+
+
 def sharded_fbgp_batch_predict(mesh: Mesh, fbgp, x_test: jax.Array,
                                axis: str = "hyper"):
     """FBGP chain predictions with the hypersample axis sharded: each device

@@ -12,6 +12,7 @@ from sober_tpu.parallel import (
     sharded_pi_weights,
     sharded_nystrom_features,
     sharded_barycenter_sums,
+    sharded_recombination,
     sharded_fbgp_batch_predict,
 )
 from sober_tpu.utils.weights import cleansing_weights
@@ -68,6 +69,71 @@ class TestShardedPaths:
         want = jax.ops.segment_sum((phi * w[None]).T, gid, num_segments=g)
         got = sharded_barycenter_sums(mesh, phi, w, gid, g)
         assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+    def test_sharded_recombination_end_to_end(self, mesh):
+        """VERDICT r1 #10: full sharded recombination round — the
+        (n_test, n_rec) strip never materializes replicated. Checks:
+        (a) the sharded result is bit-consistent with the SAME blockwise
+            algorithm executed single-device (shard-local trees + merge);
+        (b) quadrature invariants hold at the single-device tolerance:
+            w >= 0, sum w = 1, and moment matching Phi @ scatter(w) =
+            Phi @ mu;
+        (c) the moments agree with the plain single-device recombination's
+            moments (both match mu's, so they match each other)."""
+        from sober_tpu.core.rchq import local_reduce, recombination
+        from sober_tpu.core.rckernel import RecombinationKernel
+        from sober_tpu.utils.linalg import make_psd
+
+        state = _fitted(n=48, d=3, seed=7)
+        rng = np.random.default_rng(8)
+        n_rec, n_nys, batch = 16384, 128, 16   # 200k-shaped, scaled for CPU
+        x_cand = jnp.asarray(rng.uniform(-1, 1, (n_rec, 3)), jnp.float32)
+        x_nys = jnp.asarray(rng.uniform(-1, 1, (n_nys, 3)), jnp.float32)
+        w0 = jnp.asarray(rng.uniform(0, 1, n_rec), jnp.float32)
+        w0 = w0 / w0.sum()
+        kernel = RecombinationKernel(state, mode="predictive_covariance")
+
+        idx_s, w_s = sharded_recombination(
+            mesh, kernel, shard_candidates(mesh, x_cand), x_nys, w0, batch)
+
+        # (a) same algorithm single-device: per-block local trees + merge
+        n_test = batch - 1
+        k_nys = make_psd(kernel(x_nys, x_nys))
+        _, eigvecs = jnp.linalg.eigh(k_nys)
+        u = eigvecs[:, -n_test:].T
+        phi = u @ kernel(x_nys, x_cand)
+        phi = phi / jnp.maximum(jnp.max(jnp.abs(phi)), 1e-30)
+        blk = n_rec // 8
+        idxs, ws, phis = [], [], []
+        for s in range(8):
+            sl = slice(s * blk, (s + 1) * blk)
+            i_loc, w_loc = local_reduce(phi[:, sl], w0[sl], batch)
+            idxs.append(i_loc + s * blk)
+            ws.append(w_loc)
+            phis.append(phi[:, sl][:, i_loc])
+        idx_all = jnp.concatenate(idxs)
+        w_all = jnp.concatenate(ws)
+        phi_all = jnp.concatenate(phis, axis=1)
+        i_fin, w_fin = local_reduce(phi_all, w_all, batch)
+        idx_ref, w_ref = idx_all[i_fin], w_fin
+        assert np.array_equal(np.asarray(idx_s), np.asarray(idx_ref))
+        assert np.allclose(np.asarray(w_s), np.asarray(w_ref), atol=1e-6)
+
+        # (b) quadrature invariants at the single-device tolerance
+        assert (np.asarray(w_s) >= 0).all()
+        assert abs(float(w_s.sum()) - 1.0) < 1e-4
+        want_moments = phi @ w0
+        got_moments = phi[:, idx_s] @ w_s
+        scale = np.abs(np.asarray(want_moments)).max() + 1e-12
+        assert np.abs(np.asarray(got_moments - want_moments)).max() \
+            < 3e-4 * max(scale, 1.0)
+
+        # (c) agrees with the plain single-device recombination's moments
+        idx_1, w_1 = recombination(x_cand, x_nys, batch, kernel,
+                                   init_weights=w0)
+        ref_moments = phi[:, idx_1] @ w_1
+        assert np.abs(np.asarray(got_moments - ref_moments)).max() \
+            < 6e-4 * max(scale, 1.0)
 
     def test_fbgp_hyper_sharding(self):
         from sober_tpu.gp import (FitboGP, RBFHyperPrior, sampling_hypers,
