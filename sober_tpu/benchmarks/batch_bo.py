@@ -112,36 +112,64 @@ def decoupled_thompson_sampling(key: jax.Array, model: GPState, prior,
     return x_cand[jnp.asarray(idx_out)]
 
 
+def _dpp_logdet(model: GPState, x_batch: jax.Array, dpp_lambda: float,
+                lambda_mode: str) -> jax.Array:
+    """log det of the regularized DPP kernel K_S = I + lambda s^-2 K_post
+    ('mult') or (I + s^-2 K_post)^lambda ('pow') — the mixture kernel of
+    Nava et al. 2021 (benchmarks/dpp_ts_bo/snippet_dppts.py:42-50)."""
+    k_post = predictive_covariance(model, x_batch, x_batch)
+    eye = jnp.eye(x_batch.shape[0], dtype=k_post.dtype)
+    inv_s2 = 1.0 / jnp.maximum(model.noise, 1e-12)
+    if lambda_mode == "mult":
+        k_s = eye + dpp_lambda * inv_s2 * k_post
+        lam_pow = 1.0
+    elif lambda_mode == "pow":
+        k_s = eye + inv_s2 * k_post
+        lam_pow = dpp_lambda
+    else:
+        raise ValueError("lambda_mode must be 'mult' or 'pow'")
+    chol, _ = jitter_cholesky(k_s)
+    return lam_pow * 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))
+
+
+_dpp_logdet_jit = jax.jit(_dpp_logdet, static_argnames=("lambda_mode",))
+
+
 def dpp_ts(key: jax.Array, model: GPState, prior, n_rec: int,
-           batch_size: int, n_mcmc: int = 50) -> jax.Array:
-    """DPP-TS: TS proposals refined by Metropolis swaps that accept when the
-    batch's posterior-covariance log-det (diversity) increases in
-    expectation (the MCMC mechanism of
-    benchmarks/dpp_ts_bo/snippet_dppts.py)."""
+           batch_size: int, n_mcmc: int = 50, dpp_lambda: float = 1.0,
+           lambda_mode: str = "mult", first_ts: bool = False) -> jax.Array:
+    """DPP-TS (Nava et al. 2021, AISTATS 2022): sample from the mixture of
+    the TS distribution and a DPP over the posterior covariance via the
+    paper's Algorithm-1 MCMC (benchmarks/dpp_ts_bo/snippet_dppts.py:19-91):
+
+      * every batch slot is initialized by an INDEPENDENT TS draw
+        (argmax over the pool of one joint posterior sample; duplicates
+        allowed, as in the reference),
+      * each MCMC step draws a fresh TS proposal, swaps it into a uniformly
+        random slot, and accepts with min(1, det(K_S')/det(K_S)) where
+        K_S = I + lambda s^-2 K_post ('mult') or (I + s^-2 K_post)^lambda
+        ('pow') — the lambda-parametrizations of the paper's Appendix E.2,
+      * first_ts=True pins slot 0 to plain TS (DPP-TS-alt, paper §5.2).
+    """
     k1, k2, k3 = jax.random.split(key, 3)
     x_cand = prior.sample(k1, n_rec)
     y = joint_posterior_samples(k2, model, x_cand, batch_size + n_mcmc)
     y_np = np.asarray(y)
 
-    # initial batch: greedy TS
-    idx = list(np.argsort(-y_np[:batch_size].max(axis=0))[:batch_size])
-
-    def logdet(indices):
-        cov = predictive_covariance(model, x_cand[jnp.asarray(indices)],
-                                    x_cand[jnp.asarray(indices)])
-        chol, _ = jitter_cholesky(cov)
-        return 2.0 * float(jnp.sum(jnp.log(jnp.diagonal(chol))))
-
-    cur_ld = logdet(idx)
+    # per-slot independent TS initialization (snippet_dppts.py:33-41)
+    idx = [int(np.argmax(y_np[i])) for i in range(batch_size)]
+    cur_ld = float(_dpp_logdet_jit(model, x_cand[jnp.asarray(idx)],
+                                   dpp_lambda, lambda_mode))
     rng = np.random.default_rng(int(jax.random.randint(k3, (), 0, 2**31 - 1)))
+    lo_slot = 1 if first_ts else 0
     for t in range(n_mcmc):
         proposal_idx = int(np.argmax(y_np[batch_size + t]))
-        if proposal_idx in idx:
-            continue
-        slot = rng.integers(0, batch_size)
+        slot = int(rng.integers(lo_slot, batch_size))
         cand = list(idx)
         cand[slot] = proposal_idx
-        new_ld = logdet(cand)
+        new_ld = float(_dpp_logdet_jit(model, x_cand[jnp.asarray(cand)],
+                                       dpp_lambda, lambda_mode))
+        # Metropolis: alpha = min(1, det'/det) (snippet_dppts.py:74-76)
         if np.log(rng.uniform()) < new_ld - cur_ld:
             idx, cur_ld = cand, new_ld
     return x_cand[jnp.asarray(idx)]

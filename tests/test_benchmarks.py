@@ -108,6 +108,31 @@ class TestBaselines:
             # batch entries distinct
             assert len(np.unique(xb.round(5), axis=0)) > 1, name
 
+    def test_dpp_ts_mcmc_increases_diversity(self):
+        """The Metropolis chain samples the TSxDPP mixture
+        (snippet_dppts.py:58-87): across seeds, the MCMC-refined batch's
+        DPP log-det must on average beat the raw independent-TS batch's,
+        and the lambda/first_ts variants of the paper's Appendix E.2 must
+        run."""
+        from sober_tpu.benchmarks.batch_bo import _dpp_logdet_jit
+
+        model, prior = _fitted()
+        gains = []
+        for seed in range(6):
+            key = jax.random.key(seed)
+            raw = dpp_ts(key, model, prior, 256, 4, n_mcmc=0)
+            ref = dpp_ts(key, model, prior, 256, 4, n_mcmc=40)
+            ld0 = float(_dpp_logdet_jit(model, raw, 1.0, "mult"))
+            ld1 = float(_dpp_logdet_jit(model, ref, 1.0, "mult"))
+            gains.append(ld1 - ld0)
+        assert np.mean(gains) > 0.0, gains
+
+        xb_pow = dpp_ts(KEY, model, prior, 256, 4, n_mcmc=5,
+                        dpp_lambda=2.0, lambda_mode="pow")
+        assert np.isfinite(np.asarray(xb_pow)).all()
+        xb_alt = dpp_ts(KEY, model, prior, 256, 4, n_mcmc=5, first_ts=True)
+        assert np.isfinite(np.asarray(xb_alt)).all()
+
     def test_hallucination(self):
         model, prior = _fitted()
         xb = hallucination(KEY, model, lambda x, y: fit_gp(x, y), prior, 3)
