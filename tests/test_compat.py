@@ -1,0 +1,111 @@
+"""Migration surface: every reference public name importable from
+sober_tpu.compat, and the torch-OO adapter classes behave."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sober_tpu import compat
+
+# every public name of the reference package (SOBER/), per SURVEY.md §2
+REFERENCE_NAMES = [
+    "BASQ", "ScaleMmltGP", "SOBERUCB", "BoTorchLCBSC", "ParabolicMean",
+    "BOLFIModel", "FBGPAcquisitionFunction", "FitboGP", "sampling_hypers",
+    "quadrature_distillation", "FullyBayesianGP", "RBFHyperPrior",
+    "ScaleVanillaGP", "TanimotoGP", "batch_tanimoto_sim", "TanimotoKernel",
+    "BitKernel", "ExpectationPropagation", "train_GP", "train_GP_with_Adam",
+    "train_GP_with_BFGS", "update_gp", "predict", "predict_mean",
+    "get_cov_cache", "predictive_covariance", "set_gp", "InverseModel",
+    "Kernel", "PI_BQ", "PI_FBGP", "PI", "TruncatedGaussian",
+    "CategoricalPrior", "Uniform", "BinaryPrior", "MixedBinaryPrior",
+    "MixedCategoricalPrior", "DatasetPrior", "Gaussian", "CategoricalMLE",
+    "update_binary_prior", "update_categorical_prior",
+    "update_continuous_prior", "update_mixed_prior", "BernoulliMLE",
+    "recombination", "ker_svd_sparsify", "RecombinationSampler",
+    "MixtureSampler", "EmpiricalSampler", "setting_parameters", "Sober",
+    "SoberWrapper", "TruncatedMVN", "TensorManager", "SafeTensorOperator",
+    "Utils", "KMeans", "WeightsStabiliser",
+    "WeightedKernelDensityEstimation", "multivariate_normal_cdf",
+]
+
+
+@pytest.mark.parametrize("name", REFERENCE_NAMES)
+def test_reference_name_available(name):
+    assert getattr(compat, name) is not None
+
+
+def test_tensor_manager():
+    tm = compat.TensorManager(seed=3)
+    assert tm.ones(4, 2).shape == (4, 2)
+    assert tm.zeros(4).shape == (4,)
+    r = tm.rand(3, 16)
+    assert r.shape == (16, 3) and float(r.min()) >= 0 and float(r.max()) < 1
+    perm = np.sort(np.asarray(tm.randperm(7)))
+    assert (perm == np.arange(7)).all()
+    idx = tm.multinomial(jnp.asarray([0.0, 0.0, 1.0, 1.0]), 2)
+    assert set(np.asarray(idx).tolist()) == {2, 3}
+    assert tm.numpy(tm.tensor([1.0, 2.0])).tolist() == [1.0, 2.0]
+
+
+def test_safe_tensor_operator():
+    op = compat.Utils()
+    y = op.remove_anomalies(jnp.asarray([1.0, jnp.nan, jnp.inf]))
+    assert bool(jnp.isfinite(y).all())
+    bad = jnp.asarray([[1.0, 2.0], [2.0, 1.0]])  # indefinite
+    assert not op.is_psd(bad)
+    assert op.is_psd(op.make_cov_psd(bad))
+    p = op.safe_mvn_prob(jnp.zeros(2), jnp.eye(2), jnp.zeros((3, 2)))
+    assert np.allclose(np.asarray(p), 1 / (2 * np.pi), atol=1e-5)
+
+
+def test_weights_stabiliser():
+    ws = compat.WeightsStabiliser(thresh=2, seed=1)
+    w = ws.cleansing_weights(jnp.asarray([1.0, -2.0, jnp.nan, 3.0]))
+    assert abs(float(w.sum()) - 1.0) < 1e-6 and bool((w >= 0).all())
+    assert ws.check_weights(jnp.asarray([0.2, 0.8]))
+    assert not ws.check_weights(jnp.asarray([0.0, 0.0]))
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(64, 2)),
+                    jnp.float32)
+    c = ws.kmeans_resampling(x, n_clusters=4)
+    assert c.shape == (4, 2)
+
+
+def test_mle_adapters():
+    rng = np.random.default_rng(0)
+    xb = jnp.asarray((rng.random((256, 3)) < [0.2, 0.5, 0.9]), jnp.float32)
+    w = jnp.ones(256) / 256
+    p = compat.BernoulliMLE(w, xb).optimize()
+    assert np.allclose(np.asarray(p), [0.2, 0.5, 0.9], atol=0.08)
+    idx = jnp.asarray(rng.integers(0, 3, (256, 2)))
+    pc = compat.CategoricalMLE(w, idx, 2, 4).optimize()
+    assert pc.shape == (2, 4)
+    assert np.allclose(np.asarray(pc[:, :3]), 1 / 3, atol=0.1)
+
+
+def test_gp_aliases_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (32, 2)), jnp.float32)
+    y = jnp.sin(3 * x[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=32),
+                                                 jnp.float32)
+    state0 = compat.set_gp(x, y, fit_iters=5)
+    mu0, _ = compat.predict(state0, x[:4])
+    state = compat.train_GP_with_Adam(x, y, fit_iters=5)
+    cache, kxx = compat.get_cov_cache(state)
+    assert cache.shape == kxx.shape == (32, 32)
+    mu, var = compat.predict(state, x[:4])
+    assert mu.shape == (4,) and bool((var > 0).all())
+    assert mu0.shape == (4,)
+
+
+def test_ker_svd_sparsify():
+    rng = np.random.default_rng(1)
+    pt = jnp.asarray(rng.uniform(-1, 1, (24, 2)), jnp.float32)
+
+    def kern(a, b):
+        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        return jnp.exp(-0.5 * d2)
+
+    s_vals, u = compat.ker_svd_sparsify(pt, 5, kern)
+    assert s_vals.shape == (5,) and u.shape == (5, 24)
+    # descending eigenvalues, orthonormal rows
+    assert bool((s_vals[:-1] >= s_vals[1:]).all())
+    assert np.allclose(np.asarray(u @ u.T), np.eye(5), atol=1e-4)
