@@ -42,7 +42,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..utils.linalg import make_psd
+from ..utils.linalg import symmetrize
 
 
 class RecombinationResult(NamedTuple):
@@ -74,18 +74,35 @@ def _caratheodory(x: jax.Array, mu: jax.Array, n_elim: int,
     """
     m, p = x.shape
     active0 = jnp.logical_and(mu > 0, row_mask > 0).astype(x.dtype)
-    # constraints: active-x^T phi = 0 AND phi_i = 0 off the active set
-    a = jnp.concatenate(
-        [x * active0[:, None], jnp.diag(1.0 - active0)], axis=1)
-    _, s, vh = jnp.linalg.svd(a.T, full_matrices=True)      # vh: (M, M)
-    # orthonormal null basis, most-null column first; columns whose singular
-    # value is not ~0 are not genuinely null (rank deficiency) — zeroed out,
-    # and Householder deflation below provably never repopulates them
-    n_take = min(n_elim, m)
-    big_n = vh[::-1][:n_take].T                             # (M, n_take)
-    sig = s[::-1][:n_take]
-    tol = 1e-5 * jnp.maximum(s[0], 1.0)
-    big_n = big_n * (sig <= tol)[None, :].astype(big_n.dtype)
+    # Null directions must satisfy (a) x_active^T phi = 0 and (b) phi_i = 0
+    # off the active set. Computed in two cheap stages instead of one SVD of
+    # the (m, p+m) indicator-augmented constraint matrix (that SVD was ~70%
+    # of CAR wall-clock on TPU; complete QR of the raw (m, p) matrix is
+    # nearly free):
+    #   1. complete-QR complement: Q[:, p:] is an exact orthonormal basis of
+    #      the complement of col(x_active) — every column satisfies (a) by
+    #      construction (col(x_active) subset span(Q[:, :p]) even under rank
+    #      deficiency, in which case m-p of the >m-p null directions are
+    #      kept, still enough for n_elim = m-p eliminations);
+    #   2. a small (m-p, m-p) eigh of the complement's inactive-row Gram
+    #      splits it into the subspace vanishing on inactive rows
+    #      (eigenvalue ~0, kept, most-null first) and directions violating
+    #      (b) (eigenvalue = squared inactive-row amplitude, zeroed — the
+    #      Householder deflation below provably never repopulates them).
+    xm = x * active0[:, None]
+    q_full, _ = jnp.linalg.qr(xm, mode="complete")          # (M, M)
+    n0 = q_full[:, p:]                                      # (M, M-p)
+    inact = 1.0 - active0
+    d_gram = (n0 * inact[:, None]).T @ n0                   # (M-p, M-p)
+    lam, c_vecs = jnp.linalg.eigh(0.5 * (d_gram + d_gram.T))  # ascending
+    n_take = min(n_elim, m - p)
+    big_n = n0 @ c_vecs[:, :n_take]                         # (M, n_take)
+    # relative split: vanishing eigenvalues are fp32-noise-sized (~1e-7 of
+    # the largest violation when violations exist, ~1e-12 when none do), so
+    # an absolute cutoff mis-classifies them; dust from the <=1e-3-amplitude
+    # tail this admits is stripped by the elim/active masks below
+    lam_tol = 1e-6 * jnp.maximum(lam[-1], 1.0)
+    big_n = big_n * (lam[:n_take] <= lam_tol)[None, :].astype(big_n.dtype)
 
     def body(t, carry):
         mu, nmat, elim = carry
@@ -377,8 +394,11 @@ def _recombination_impl(pts_rec: jax.Array, pts_nys: jax.Array, num_pts: int,
             f"init_weights has {init_weights.shape[0]} entries but pts_rec "
             f"has {n_pool} rows")
 
-    # Nystrom spectral basis (reference: ker_svd_sparsify, _rchq.py:34-39)
-    k_nys = make_psd(kernel(pts_nys, pts_nys))
+    # Nystrom spectral basis (reference: ker_svd_sparsify, _rchq.py:34-39).
+    # The reference PSD-repairs the Gram before its SVD; adding jitter*I only
+    # shifts eigenvalues and leaves the eigenvectors (= the basis) unchanged,
+    # so the jitter search is skipped — symmetrize + NaN-scrub suffices.
+    k_nys = symmetrize(jnp.nan_to_num(kernel(pts_nys, pts_nys)))
     _, eigvecs = jnp.linalg.eigh(k_nys)                    # ascending
     u = eigvecs[:, -n_test:].T                             # (n_test, n_nys)
 
