@@ -165,11 +165,19 @@ def _null_space_push(feats: jax.Array, mass: jax.Array, obj: jax.Array,
     values (reference convention: obj = -calc_obj, so pushing with
     dot(obj, w_null) >= 0 increases total acquisition); w: (K,) weights.
     """
-    xp = jnp.concatenate(
-        [feats, mass[None, :], jnp.diag(1.0 - mass)], axis=0)
-    _, s, vh = jnp.linalg.svd(xp, full_matrices=True)       # (K, K)
-    w_null = vh[-1]
-    sig_ok = s[-1] <= 1e-5 * jnp.maximum(s[0], 1.0)
+    # most-null direction via the same two-stage construction as
+    # _caratheodory (complete-QR complement of the feature+mass constraints,
+    # then the minimal eigenvector of the complement's dummy-row Gram)
+    # instead of a full SVD of the indicator-augmented matrix.
+    xp = jnp.concatenate([feats, mass[None, :]], axis=0).T  # (K, p)
+    p = xp.shape[1]
+    q_full, _ = jnp.linalg.qr(xp, mode="complete")          # (K, K)
+    n0 = q_full[:, p:]                                      # (K, K-p)
+    inact = 1.0 - mass
+    d_gram = (n0 * inact[:, None]).T @ n0
+    lam, c_vecs = jnp.linalg.eigh(0.5 * (d_gram + d_gram.T))
+    w_null = n0 @ c_vecs[:, 0]
+    sig_ok = lam[0] <= 1e-6 * jnp.maximum(lam[-1], 1.0)
     w_null = jnp.where(jnp.dot(obj, w_null) < 0, -w_null, w_null)
     plis = w_null > 0
     alpha = jnp.where(plis, w / jnp.where(plis, w_null, 1.0), jnp.inf)

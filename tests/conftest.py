@@ -18,3 +18,17 @@ if os.environ.get("SOBER_TEST_PLATFORM", "cpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+# XLA:CPU leaks virtual-memory mappings across compilations (each compiled
+# executable holds JIT code pages); a full-suite run in one process crosses
+# the kernel's vm.max_map_count (65530 default) at ~75% of the suite and
+# segfaults inside backend_compile_and_load. Dropping the jit caches between
+# test modules releases the executables and keeps the map count bounded.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()
