@@ -66,7 +66,9 @@ def bench_fused(n_cand, n_nys, batch, d, metric, n_obs=500):
     @jax.jit
     def full_iteration(x_obs, y_obs, x_cand, x_nys, prior_pdf):
         y_std = (y_obs - y_obs.mean()) / y_obs.std(ddof=1)
-        params = fit_params(x_obs, y_std, cfg, optimiser="adam")
+        # default optimiser ladder (L-BFGS with Adam fallback), the same
+        # path fit_gp takes
+        params = fit_params(x_obs, y_std, cfg)
         state = build_state(params, x_obs, y_obs, cfg)
         eta = posterior_max_mean(state)
         idx, w, _ = fused_acquisition(state, eta, x_cand, x_nys, prior_pdf,
