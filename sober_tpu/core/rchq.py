@@ -415,7 +415,7 @@ def _recombination_impl(pts_rec: jax.Array, pts_nys: jax.Array, num_pts: int,
     # global normalization: moment matching is scale-invariant in exact
     # arithmetic, but when the kernel is nearly degenerate (e.g. a confident
     # posterior-covariance kernel with values ~1e-8) the rows are numerically
-    # invisible next to the O(1) mass column inside the Caratheodory SVD.
+    # invisible next to the O(1) mass column inside the Caratheodory QR.
     # One GLOBAL scale lifts them while preserving the eigenvalue-weighted
     # priority between test functions (per-row scaling would distort it).
     phi = phi / jnp.maximum(jnp.max(jnp.abs(phi)), 1e-30)
