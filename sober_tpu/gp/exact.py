@@ -294,8 +294,8 @@ def _fit_lbfgs(params0: GPParams, x, y, cfg: GPConfig,
         linesearch=optax.scale_by_zoom_linesearch(max_linesearch_steps=8))
     value_and_grad = optax.value_and_grad_from_state(loss_fn)
 
-    def step(carry, _):
-        params, opt_state, best_loss, best_params = carry
+    def live_step(carry):
+        params, opt_state, best_loss, best_params, n_plateau, _ = carry
         value, grad = value_and_grad(params, state=opt_state)
         grad = jax.tree.map(jnp.nan_to_num, grad)
         if not cfg.train_lik:
@@ -305,14 +305,31 @@ def _fit_lbfgs(params0: GPParams, x, y, cfg: GPConfig,
         improved = jnp.logical_and(jnp.isfinite(value), value < best_loss)
         best_params = jax.tree.map(
             lambda b, p: jnp.where(improved, p, b), best_params, params)
+        # early stop: loss plateaued for 2 consecutive steps (each live step
+        # is ~9 latency-bound Cholesky evals through the zoom linesearch;
+        # converged steps become a skipped cond branch, so fit cost tracks
+        # actual convergence; 2 consecutive guards against a transient
+        # linesearch stall that refreshed curvature would recover from)
+        plateau = jnp.logical_and(
+            jnp.isfinite(value),
+            best_loss - value <= 1e-6 * jnp.maximum(jnp.abs(value), 1.0))
+        plateau = jnp.logical_and(plateau, jnp.isfinite(best_loss))
+        n_plateau = jnp.where(plateau, n_plateau + 1, 0)
+        done = n_plateau >= 2
         best_loss = jnp.where(improved, value, best_loss)
         updates, opt_state = opt.update(
             grad, opt_state, params, value=value, grad=grad, value_fn=loss_fn)
         params = optax.apply_updates(params, updates)
-        return (params, opt_state, best_loss, best_params), value
+        return params, opt_state, best_loss, best_params, n_plateau, done
 
-    carry0 = (params0, opt.init(params0), jnp.asarray(jnp.inf), params0)
-    (params, _, best_loss, best_params), _ = jax.lax.scan(
+    def step(carry, _):
+        done = carry[-1]
+        carry = jax.lax.cond(done, lambda c: c, live_step, carry)
+        return carry, carry[2]
+
+    carry0 = (params0, opt.init(params0), jnp.asarray(jnp.inf), params0,
+              jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    (params, _, best_loss, best_params, _, _), _ = jax.lax.scan(
         step, carry0, None, length=max(cfg.fit_iters // 4, 10))
     final_loss = loss_fn(params)
     take_final = jnp.logical_and(jnp.isfinite(final_loss),
