@@ -268,6 +268,12 @@ class SoberWrapper:
         else:
             cfg = GPConfig(ard=True, noise_lo=1e-2, noise_hi=10.0,
                            standardize_y=False, use_priors=False)
+            # NOT warm-started: EP re-targets the surrogate at a different
+            # per-site objective every visit (apps/ep.py), and carrying
+            # hypers across those refits demonstrably degrades posterior
+            # recovery (caught by TestEP::test_end_to_end_parameter_recovery).
+            # Warm-starting stays an explicit opt-in:
+            # fit_gp(..., params0=raw_params_from_state(prev)).
             self.surrogate_model = fit_gp(x, y, cfg)
 
     def optimize_model(self):

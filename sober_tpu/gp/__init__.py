@@ -13,6 +13,7 @@ from .exact import (
     predictive_covariance,
     posterior_max_mean,
     mean_value,
+    raw_params_from_state,
 )
 from .warped import ScaleMmltGP, PIBQ
 from .fbgp import (
@@ -39,6 +40,7 @@ __all__ = [
     "fit_params", "build_state", "fit_gp", "predict", "predict_raw",
     "predict_mean", "predictive_covariance", "posterior_max_mean",
     "mean_value",
+    "raw_params_from_state",
     "ScaleMmltGP", "PIBQ",
     "FitboGP", "RBFHyperPrior", "ScaleVanillaGP", "fitbo_mll",
     "sampling_hypers", "quadrature_distillation", "FullyBayesianGP",

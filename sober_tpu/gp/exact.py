@@ -396,8 +396,38 @@ def build_state(params: GPParams, x: jax.Array, y_raw: jax.Array,
                    params.mean_params, mask)
 
 
+def raw_params_from_state(state: GPState) -> GPParams:
+    """Invert `materialize`: recover raw GPParams from a fitted state.
+
+    Use as `fit_gp(x, y, cfg, params0=raw_params_from_state(prev))` to
+    warm-start the next refit in a BO loop — with the plateau early-stop in
+    `_fit_lbfgs`, a warm-started refit converges in a few live steps. No
+    reference analogue as a function; the reference's stateful GPyTorch
+    modules warm-start implicitly by mutating hypers in place
+    (SOBER/_gp.py:189-209 refits the same model object).
+    """
+    cfg = state.config
+    kp = state.kernel.params
+    raw_os = _inv_softplus(jnp.maximum(kp["outputscale"], 1e-20))
+    if "lengthscale" in kp:
+        raw_ls = _inv_softplus(jnp.maximum(kp["lengthscale"], 1e-20))
+    else:
+        raw_ls = jnp.zeros((), state.x.dtype)
+    # clamp strictly inside the interval: _inv_interval is +-inf at the ends
+    lo, hi = cfg.noise_lo, cfg.noise_hi
+    noise = jnp.clip(state.noise, lo + 1e-9 * (hi - lo),
+                     hi - 1e-9 * (hi - lo))
+    return GPParams(
+        raw_lengthscale=raw_ls,
+        raw_outputscale=raw_os,
+        raw_noise=_inv_interval(noise, lo, hi),
+        mean_params=state.mean_params,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "optimiser"))
-def _fit_gp_jit(x, y, mask, cfg: GPConfig, optimiser: str) -> GPState:
+def _fit_gp_jit(x, y, mask, cfg: GPConfig, optimiser: str,
+                params0=None) -> GPState:
     y = y.reshape(-1)
     if cfg.standardize_y:
         m, sd = _masked_stats(y, mask)
@@ -406,12 +436,14 @@ def _fit_gp_jit(x, y, mask, cfg: GPConfig, optimiser: str) -> GPState:
             y_std_scale = y_std_scale * mask
     else:
         y_std_scale = y
-    params = fit_params(x, y_std_scale, cfg, optimiser=optimiser, mask=mask)
+    params = fit_params(x, y_std_scale, cfg, params0=params0,
+                        optimiser=optimiser, mask=mask)
     return build_state(params, x, y, cfg, mask=mask)
 
 
 def fit_gp(x: jax.Array, y: jax.Array, cfg: Optional[GPConfig] = None,
            optimiser: str = "lbfgs", mask: Optional[jax.Array] = None,
+           params0: Optional[GPParams] = None,
            **cfg_kwargs) -> GPState:
     """One-call GP fit (reference update_gp, SOBER/_gp.py:189-209).
 
@@ -419,10 +451,11 @@ def fit_gp(x: jax.Array, y: jax.Array, cfg: Optional[GPConfig] = None,
     standardized scale, and returns the fitted GPState with caches. The
     whole fit is ONE cached jitted program keyed on (cfg, optimiser) and
     the data shapes — refitting in a BO loop reuses the compiled program.
+    `params0` warm-starts the optimiser (see raw_params_from_state).
     """
     if cfg is None:
         cfg = GPConfig(**cfg_kwargs)
-    return _fit_gp_jit(x, jnp.asarray(y), mask, cfg, optimiser)
+    return _fit_gp_jit(x, jnp.asarray(y), mask, cfg, optimiser, params0)
 
 
 # ----------------------------------------------------------------------------
@@ -502,6 +535,7 @@ def pad_observations(x: jax.Array, y: jax.Array, bucket: int = 128):
 def fit_gp_padded(x: jax.Array, y: jax.Array,
                   cfg: Optional[GPConfig] = None,
                   optimiser: str = "adam", bucket: int = 128,
+                  params0: Optional[GPParams] = None,
                   **cfg_kwargs) -> GPState:
     """fit_gp on a bucket-padded observation buffer: recompilation happens
     only when n crosses a bucket boundary instead of every iteration.
@@ -513,4 +547,4 @@ def fit_gp_padded(x: jax.Array, y: jax.Array,
     force the zoom budget every step)."""
     x_pad, y_pad, mask = pad_observations(x, jnp.asarray(y), bucket)
     return fit_gp(x_pad, y_pad, cfg, optimiser=optimiser, mask=mask,
-                  **cfg_kwargs)
+                  params0=params0, **cfg_kwargs)

@@ -154,3 +154,56 @@ class TestExactGP:
         f = jax.jit(lambda s, xq: predict(s, xq))
         mean, var = f(state, x[:4])
         assert mean.shape == (4,) and var.shape == (4,)
+
+
+class TestWarmStart:
+    def test_raw_params_roundtrip(self):
+        """materialize(raw_params_from_state(state)) == state's hypers."""
+        import numpy as np
+
+        from sober_tpu.gp.exact import (
+            GPConfig, fit_gp, materialize, raw_params_from_state)
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(-1, 1, (48, 3)), jnp.float32)
+        y = jnp.sin(2 * x[:, 0]) + 0.1 * jnp.asarray(rng.normal(size=48),
+                                                     jnp.float32)
+        cfg = GPConfig(ard=True, fit_iters=40)
+        state = fit_gp(x, y, cfg)
+        raw = raw_params_from_state(state)
+        kern, noise = materialize(raw, cfg)
+        assert np.allclose(np.asarray(kern.params["lengthscale"]),
+                           np.asarray(state.kernel.params["lengthscale"]),
+                           rtol=1e-5)
+        assert np.allclose(float(noise), float(state.noise), rtol=1e-4)
+
+    def test_warm_started_refit_matches_quality(self):
+        """A warm-started refit on grown data must reach an MLL at least as
+        good as the cold refit (up to tolerance)."""
+        import numpy as np
+
+        from sober_tpu.gp.exact import (
+            GPConfig, fit_gp, neg_mll, raw_params_from_state)
+
+        rng = np.random.default_rng(1)
+        x1 = jnp.asarray(rng.uniform(-1, 1, (64, 2)), jnp.float32)
+        f = lambda a: jnp.sin(3 * a[:, 0]) * jnp.cos(2 * a[:, 1])  # noqa: E731
+        y1 = f(x1) + 0.05 * jnp.asarray(rng.normal(size=64), jnp.float32)
+        cfg = GPConfig(fit_iters=60)
+        s1 = fit_gp(x1, y1, cfg)
+
+        x2 = jnp.concatenate(
+            [x1, jnp.asarray(rng.uniform(-1, 1, (32, 2)), jnp.float32)])
+        y2 = jnp.concatenate(
+            [y1, f(x2[64:]) + 0.05 * jnp.asarray(rng.normal(size=32),
+                                                 jnp.float32)])
+        cold = fit_gp(x2, y2, cfg)
+        warm = fit_gp(x2, y2, cfg, params0=raw_params_from_state(s1))
+
+        def mll_of(state):
+            raw = raw_params_from_state(state)
+            ys = (y2 - state.y_mean) / state.y_std
+            return float(neg_mll(raw, x2, ys, cfg, None))
+
+        assert mll_of(warm) <= mll_of(cold) + 0.05, \
+            (mll_of(warm), mll_of(cold))
