@@ -4,6 +4,7 @@ from .sharded import (
     sharded_nystrom_features,
     sharded_barycenter_sums,
     sharded_recombination,
+    sharded_acquisition,
     sharded_fbgp_batch_predict,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "sharded_nystrom_features",
     "sharded_barycenter_sums",
     "sharded_recombination",
+    "sharded_acquisition",
     "sharded_fbgp_batch_predict",
 ]

@@ -132,7 +132,7 @@ def sharded_recombination(mesh: Mesh, kernel, x_cand: jax.Array,
     with global indices into x_cand.
     """
     from ..core.rchq import local_reduce
-    from ..utils.linalg import make_psd
+    from ..utils.linalg import symmetrize
 
     if hasattr(kernel, "rc_apply"):
         k_apply, k_tree = kernel.rc_apply, kernel.rc_tree
@@ -140,7 +140,9 @@ def sharded_recombination(mesh: Mesh, kernel, x_cand: jax.Array,
         k_apply, k_tree = (lambda _, x, y: kernel(x, y)), None
 
     n_test = num_pts - 1
-    k_nys = make_psd(k_apply(k_tree, x_nys, x_nys))
+    # symmetrize only — jitter shifts eigenvalues, not eigenvectors
+    # (matches core/rchq.py's basis construction)
+    k_nys = symmetrize(jnp.nan_to_num(k_apply(k_tree, x_nys, x_nys)))
     _, eigvecs = jnp.linalg.eigh(k_nys)
     u = eigvecs[:, -n_test:].T                              # (n_test, n_nys)
 
@@ -164,6 +166,65 @@ def sharded_recombination(mesh: Mesh, kernel, x_cand: jax.Array,
     # final replicated merge over n_devices * num_pts survivors (tiny)
     idx_fin, w_fin = local_reduce(phi_surv, w_surv, num_pts)
     return idx_surv[idx_fin], w_fin
+
+
+def sharded_acquisition(mesh: Mesh, state: GPState, eta: jax.Array,
+                        x_cand: jax.Array, x_nys: jax.Array,
+                        prior_pdf: jax.Array, num_pts: int,
+                        axis: str = "cand"):
+    """The full SOBER acquisition (pi weighting + kernel recombination) as
+    ONE shard_map program over the candidate axis — the multi-chip analogue
+    of core/fused.py:fused_acquisition.
+
+    Per device: pi over its candidate block, global weight normalization
+    (psum), its (n_test, blk) feature strip, global phi scaling (pmax), and
+    the full local reduction tree; only the <= num_pts survivors per device
+    are gathered for the tiny replicated merge. Communication: two scalar
+    collectives + one all-gather of O(n_devices * num_pts * n_test) floats,
+    independent of n_rec.
+
+    Returns (idx, w, weights): global batch indices, quadrature weights,
+    and the cleansed pool weights (sharded over `axis`).
+    """
+    from ..config import settings
+    from ..core.rchq import local_reduce
+    from ..utils.linalg import symmetrize
+
+    eps = settings().eps_weights
+    n_test = num_pts - 1
+    k_nys = symmetrize(jnp.nan_to_num(
+        predictive_covariance(state, x_nys, x_nys)))
+    _, eigvecs = jnp.linalg.eigh(k_nys)
+    u = eigvecs[:, -n_test:].T                              # (n_test, n_nys)
+
+    def block(state, eta, u, x_nys, x_blk, pdf_blk):
+        pi_vals = lfi(state, eta, x_blk)
+        w = pi_vals / jnp.maximum(pdf_blk, 1e-38)
+        w = jnp.where(w < eps, 0.0, w)
+        w = jnp.where(jnp.isfinite(w), w, eps)
+        total = jax.lax.psum(jnp.sum(w), axis)
+        n = jax.lax.psum(jnp.asarray(w.shape[0], w.dtype), axis)
+        safe = jnp.where(total > 0, total, 1.0)
+        w_blk = jnp.where(total > 0, w / safe, jnp.full_like(w, 1.0) / n)
+
+        phi_blk = u @ predictive_covariance(state, x_nys, x_blk)
+        gmax = jax.lax.pmax(jnp.max(jnp.abs(phi_blk)), axis)
+        phi_blk = phi_blk / jnp.maximum(gmax, 1e-30)
+        idx_loc, w_loc = local_reduce(phi_blk, w_blk, num_pts)
+        shard = jax.lax.axis_index(axis)
+        idx_glob = idx_loc + shard * x_blk.shape[0]
+        phi_surv = phi_blk[:, idx_loc]
+        return idx_glob, w_loc, phi_surv, w_blk
+
+    fn = shard_map(
+        block, mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(axis, None), P(axis)),
+        out_specs=(P(axis), P(axis), P(None, axis), P(axis)),
+    )
+    idx_surv, w_surv, phi_surv, weights = fn(
+        state, eta, u, x_nys, x_cand, prior_pdf)
+    idx_fin, w_fin = local_reduce(phi_surv, w_surv, num_pts)
+    return idx_surv[idx_fin], w_fin, weights
 
 
 def sharded_fbgp_batch_predict(mesh: Mesh, fbgp, x_test: jax.Array,

@@ -154,3 +154,40 @@ class TestShardedPaths:
         mu, var = fbgp.marginal_predict(xq)
         assert np.allclose(np.asarray(mu_s), np.asarray(mu), atol=1e-4)
         assert np.allclose(np.asarray(var_s), np.asarray(var), atol=1e-4)
+
+
+class TestShardedAcquisition:
+    def test_matches_two_call_composition(self):
+        """sharded_acquisition (one shard_map program) must agree with the
+        sharded_pi_weights -> sharded_recombination composition and satisfy
+        the quadrature invariants."""
+        from sober_tpu.core.rckernel import RecombinationKernel
+        from sober_tpu.gp import posterior_max_mean
+        from sober_tpu.parallel import (
+            make_mesh, shard_candidates, sharded_acquisition,
+            sharded_pi_weights, sharded_recombination)
+
+        mesh = make_mesh(8, axis_names=("cand",))
+        state = _fitted(n=48, d=3, seed=3)
+        eta = posterior_max_mean(state)
+        rng = np.random.default_rng(4)
+        n_rec, n_nys, batch = 4096, 64, 8
+        x_cand = jnp.asarray(rng.uniform(-1, 1, (n_rec, 3)), jnp.float32)
+        x_nys = x_cand[:n_nys]
+        prior_pdf = jnp.full((n_rec,), 1.0 / 8.0)
+        x_sh = shard_candidates(mesh, x_cand)
+
+        idx, w, weights = sharded_acquisition(
+            mesh, state, eta, x_sh, x_nys, prior_pdf, batch)
+        assert idx.shape == (batch,) and w.shape == (batch,)
+        assert bool(jnp.all(w >= 0))
+        assert abs(float(w.sum()) - 1.0) < 1e-3
+        assert abs(float(weights.sum()) - 1.0) < 1e-3
+
+        w_ref = sharded_pi_weights(mesh, state, eta, x_sh, prior_pdf)
+        assert np.allclose(np.asarray(weights), np.asarray(w_ref), atol=1e-6)
+        rk = RecombinationKernel(state, mode="predictive_covariance")
+        idx_ref, w_quad_ref = sharded_recombination(
+            mesh, rk, x_sh, x_nys, w_ref, batch)
+        assert np.array_equal(np.asarray(idx), np.asarray(idx_ref))
+        assert np.allclose(np.asarray(w), np.asarray(w_quad_ref), atol=1e-5)
