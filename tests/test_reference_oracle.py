@@ -260,3 +260,41 @@ class TestTMVNOracle:
         c_ours = np.corrcoef(s.T)[0, 1]
         c_ref = np.corrcoef(s_ref.T)[0, 1]
         assert abs(c_ours - c_ref) < 0.1, (c_ours, c_ref)
+
+
+class TestTMVNExtremeOracle:
+    @pytest.mark.slow
+    @pytest.mark.parametrize("d,rho,lo,hi", [
+        (10, 0.95, 3.0, 6.0),   # deep correlated tail, moderate dim
+        (15, 0.90, 2.0, 5.0),   # higher dim
+        (2, 0.99, 4.0, 8.0),    # near-singular correlation, very deep tail
+    ])
+    def test_extreme_regimes_vs_botev(self, torch, d, rho, lo, hi):
+        """Regimes where naive Gibbs mixing collapses (VERDICT r1 Missing
+        #5): the spectral-radius auto burn-in must keep moments matched to
+        the reference's minimax-tilting sampler."""
+        ref_tmvn = _load_ref("_tmvn")
+        cov = np.full((d, d), rho) + (1 - rho) * np.eye(d)
+        mu = np.zeros(d)
+        lb = np.full(d, lo)
+        ub = np.full(d, hi)
+        as_t = lambda a: torch.tensor(a, dtype=torch.float64)  # noqa: E731
+        ref = ref_tmvn.TruncatedMVN(as_t(mu), as_t(cov),
+                                    (as_t(lb), as_t(ub)), seed=0)
+        s_ref = np.asarray(ref.sample(8000))
+        if s_ref.shape[0] == d:
+            s_ref = s_ref.T
+
+        import jax
+
+        from sober_tpu.priors.tmvn import TruncatedMVN
+
+        ours = TruncatedMVN(mu, cov, (lb, ub))
+        s = np.asarray(ours.sample(jax.random.key(0), 8000))
+        assert ((s > lb - 1e-6) & (s < ub + 1e-6)).all()
+        assert np.abs(s.mean(0) - s_ref.mean(0)).max() < 0.04, \
+            (s.mean(0), s_ref.mean(0))
+        assert np.abs(s.std(0) - s_ref.std(0)).max() < 0.03, \
+            (s.std(0), s_ref.std(0))
+        assert abs(np.corrcoef(s.T)[0, 1]
+                   - np.corrcoef(s_ref.T)[0, 1]) < 0.06
