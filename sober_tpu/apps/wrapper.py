@@ -199,6 +199,24 @@ class SoberWrapper:
         return self.bounds[0] + (self.bounds[1] - self.bounds[0]) * (
             x @ self.back_diagonalization.T)
 
+    def apply_transform_and_normalize_one_variable(self, var, index):
+        """One variable: parameter space -> unit cube
+        (SOBER/_sober_wrapper.py:427-442), via the current MAP for the
+        other coordinates and the eigen-order map."""
+        x = jnp.asarray(self.current_MAP, jnp.float32).at[index].set(var)
+        z = self.normalize_input(self.apply_transform(jnp.atleast_2d(x)))
+        return float(z[0][self.diag_order[index]])
+
+    def denormalize_and_reverse_transform_one_variable(self, var, index):
+        """One variable: unit cube -> parameter space
+        (SOBER/_sober_wrapper.py:444-460)."""
+        x = jnp.asarray(self.current_MAP, jnp.float32)
+        z = self.normalize_input(self.apply_transform(jnp.atleast_2d(x)))[0]
+        z = z.at[self.diag_order[index]].set(var)
+        back = self.reverse_transform(
+            self.denormalize_input(jnp.atleast_2d(z)))
+        return float(back[0][index])
+
     def apply_transform(self, x):
         cols = [self.transforms[i][0](x[..., i])
                 for i in range(self.input_dim)]

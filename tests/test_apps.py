@@ -257,3 +257,25 @@ class TestWrapperCheckpoint:
                      surrogate_samples=256, surrogate_effective_samples=32,
                      verbose=False)
         assert len(w2.X_all) == len(w.X_all) + 8
+
+
+def test_one_variable_transform_roundtrip():
+    """apply_transform_and_normalize_one_variable and its inverse
+    (SOBER/_sober_wrapper.py:427-460) round-trip through the unit cube."""
+    import numpy as np
+
+    from sober_tpu.apps.wrapper import SoberWrapper
+
+    wrapper = SoberWrapper(
+        model=lambda x: np.sum(x**2, axis=-1),
+        data=np.zeros(1),
+        bounds=[[-2.0, 0.0], [3.0, 10.0]],
+        model_initial_samples=4,
+        transforms=[None, (np.log1p, np.expm1)],
+        standalone=False,
+    )
+    for idx, val in [(0, 1.5), (1, 4.0)]:
+        z = wrapper.apply_transform_and_normalize_one_variable(val, idx)
+        assert 0.0 <= z <= 1.0
+        back = wrapper.denormalize_and_reverse_transform_one_variable(z, idx)
+        assert abs(back - val) < 1e-3, (idx, val, back)
