@@ -7,6 +7,8 @@ from .exact import (
     fit_params,
     build_state,
     fit_gp,
+    fit_gp_padded,
+    pad_observations,
     predict,
     predict_raw,
     predict_mean,
@@ -37,7 +39,7 @@ from .multitask import (
 
 __all__ = [
     "GPConfig", "GPParams", "GPState", "init_params", "neg_mll",
-    "fit_params", "build_state", "fit_gp", "predict", "predict_raw",
+    "fit_params", "build_state", "fit_gp", "fit_gp_padded", "pad_observations", "predict", "predict_raw",
     "predict_mean", "predictive_covariance", "posterior_max_mean",
     "mean_value",
     "raw_params_from_state",
