@@ -97,12 +97,14 @@ def _caratheodory(x: jax.Array, mu: jax.Array, n_elim: int,
     lam, c_vecs = jnp.linalg.eigh(0.5 * (d_gram + d_gram.T))  # ascending
     n_take = min(n_elim, m - p)
     big_n = n0 @ c_vecs[:, :n_take]                         # (M, n_take)
-    # relative split: vanishing eigenvalues are fp32-noise-sized (~1e-7 of
-    # the largest violation when violations exist, ~1e-12 when none do), so
-    # an absolute cutoff mis-classifies them; dust from the <=1e-3-amplitude
-    # tail this admits is stripped by the elim/active masks below
-    lam_tol = 1e-6 * jnp.maximum(lam[-1], 1.0)
-    big_n = big_n * (lam[:n_take] <= lam_tol)[None, :].astype(big_n.dtype)
+    # split threshold: d_gram's eigenvalues are squared inactive-row
+    # amplitudes in [0, 1] (orthonormal columns, 0/1 mask). Genuinely
+    # vanishing directions read ~1e-7 from fp32 QR/eigh noise, so the
+    # cutoff must sit well above that — 1e-6 tolerates inactive amplitudes
+    # up to 1e-3, whose elimination dust the elim/active masks below strip.
+    # (An earlier 1e-8 cutoff sat below the noise floor and silently
+    # discarded valid eliminations, breaking moment matching.)
+    big_n = big_n * (lam[:n_take] <= 1e-6)[None, :].astype(big_n.dtype)
 
     def body(t, carry):
         mu, nmat, elim = carry
@@ -177,7 +179,8 @@ def _null_space_push(feats: jax.Array, mass: jax.Array, obj: jax.Array,
     d_gram = (n0 * inact[:, None]).T @ n0
     lam, c_vecs = jnp.linalg.eigh(0.5 * (d_gram + d_gram.T))
     w_null = n0 @ c_vecs[:, 0]
-    sig_ok = lam[0] <= 1e-6 * jnp.maximum(lam[-1], 1.0)
+    # absolute cutoff on the squared dummy-row amplitude (see _caratheodory)
+    sig_ok = lam[0] <= 1e-6
     w_null = jnp.where(jnp.dot(obj, w_null) < 0, -w_null, w_null)
     plis = w_null > 0
     alpha = jnp.where(plis, w / jnp.where(plis, w_null, 1.0), jnp.inf)

@@ -18,17 +18,43 @@ the per-chain Cholesky caches.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from ..gp.exact import GPState, predict, predictive_covariance
+from ..gp.exact import GPState, predictive_covariance
 from ..core.pi import lfi
-from ..utils.weights import cleansing_weights
+
+
+
+def _pi_weight_block(state, eta, x_blk, pdf_blk, axis, eps):
+    """Per-shard pi-importance weights with global (psum) normalization —
+    mirrors utils/weights.py:cleansing_weights semantics on a sharded axis.
+    Shared by sharded_pi_weights and sharded_acquisition."""
+    pi_vals = lfi(state, eta, x_blk)
+    w = pi_vals / jnp.maximum(pdf_blk, 1e-38)
+    w = jnp.where(w < eps, 0.0, w)
+    w = jnp.where(jnp.isfinite(w), w, eps)
+    total = jax.lax.psum(jnp.sum(w), axis)
+    n = jax.lax.psum(jnp.asarray(w.shape[0], w.dtype), axis)
+    safe = jnp.where(total > 0, total, 1.0)
+    return jnp.where(total > 0, w / safe, jnp.full_like(w, 1.0) / n)
+
+
+def _local_survivor_block(phi_blk, w_blk, num_pts, axis, blk_size):
+    """Per-shard reduction: global phi scaling (pmax), full local halving
+    tree, and the <= num_pts survivors with global indices. Shared by
+    sharded_recombination and sharded_acquisition."""
+    from ..core.rchq import local_reduce
+
+    gmax = jax.lax.pmax(jnp.max(jnp.abs(phi_blk)), axis)
+    phi_blk = phi_blk / jnp.maximum(gmax, 1e-30)
+    idx_loc, w_loc = local_reduce(phi_blk, w_blk, num_pts)
+    shard = jax.lax.axis_index(axis)
+    idx_glob = idx_loc + shard * blk_size
+    phi_surv = phi_blk[:, idx_loc]                          # (n_test, num_pts)
+    return idx_glob, w_loc, phi_surv
 
 
 def sharded_pi_weights(mesh: Mesh, state: GPState, eta: jax.Array,
@@ -44,15 +70,7 @@ def sharded_pi_weights(mesh: Mesh, state: GPState, eta: jax.Array,
     eps = settings().eps_weights
 
     def block(state, eta, x_blk, pdf_blk):
-        pi_vals = lfi(state, eta, x_blk)
-        w = pi_vals / jnp.maximum(pdf_blk, 1e-38)
-        # mirror cleansing_weights semantics (utils/weights.py)
-        w = jnp.where(w < eps, 0.0, w)
-        w = jnp.where(jnp.isfinite(w), w, eps)
-        total = jax.lax.psum(jnp.sum(w), axis)
-        n = jax.lax.psum(jnp.asarray(w.shape[0], w.dtype), axis)
-        safe = jnp.where(total > 0, total, 1.0)
-        return jnp.where(total > 0, w / safe, jnp.full_like(w, 1.0) / n)
+        return _pi_weight_block(state, eta, x_blk, pdf_blk, axis, eps)
 
     fn = shard_map(
         block, mesh=mesh,
@@ -139,6 +157,9 @@ def sharded_recombination(mesh: Mesh, kernel, x_cand: jax.Array,
     else:
         k_apply, k_tree = (lambda _, x, y: kernel(x, y)), None
 
+    if x_nys.shape[0] < num_pts:
+        raise ValueError(
+            f"n_nys={x_nys.shape[0]} must be >= num_pts={num_pts}")
     n_test = num_pts - 1
     # symmetrize only — jitter shifts eigenvalues, not eigenvectors
     # (matches core/rchq.py's basis construction)
@@ -148,13 +169,8 @@ def sharded_recombination(mesh: Mesh, kernel, x_cand: jax.Array,
 
     def block(k_tree, u, x_nys, x_blk, w_blk):
         phi_blk = u @ k_apply(k_tree, x_nys, x_blk)         # (n_test, blk)
-        gmax = jax.lax.pmax(jnp.max(jnp.abs(phi_blk)), axis)
-        phi_blk = phi_blk / jnp.maximum(gmax, 1e-30)
-        idx_loc, w_loc = local_reduce(phi_blk, w_blk, num_pts)
-        shard = jax.lax.axis_index(axis)
-        idx_glob = idx_loc + shard * x_blk.shape[0]
-        phi_surv = phi_blk[:, idx_loc]                      # (n_test, num_pts)
-        return idx_glob, w_loc, phi_surv
+        return _local_survivor_block(phi_blk, w_blk, num_pts, axis,
+                                     x_blk.shape[0])
 
     fn = shard_map(
         block, mesh=mesh,
@@ -190,6 +206,9 @@ def sharded_acquisition(mesh: Mesh, state: GPState, eta: jax.Array,
     from ..core.rchq import local_reduce
     from ..utils.linalg import symmetrize
 
+    if x_nys.shape[0] < num_pts:
+        raise ValueError(
+            f"n_nys={x_nys.shape[0]} must be >= num_pts={num_pts}")
     eps = settings().eps_weights
     n_test = num_pts - 1
     k_nys = symmetrize(jnp.nan_to_num(
@@ -198,22 +217,10 @@ def sharded_acquisition(mesh: Mesh, state: GPState, eta: jax.Array,
     u = eigvecs[:, -n_test:].T                              # (n_test, n_nys)
 
     def block(state, eta, u, x_nys, x_blk, pdf_blk):
-        pi_vals = lfi(state, eta, x_blk)
-        w = pi_vals / jnp.maximum(pdf_blk, 1e-38)
-        w = jnp.where(w < eps, 0.0, w)
-        w = jnp.where(jnp.isfinite(w), w, eps)
-        total = jax.lax.psum(jnp.sum(w), axis)
-        n = jax.lax.psum(jnp.asarray(w.shape[0], w.dtype), axis)
-        safe = jnp.where(total > 0, total, 1.0)
-        w_blk = jnp.where(total > 0, w / safe, jnp.full_like(w, 1.0) / n)
-
+        w_blk = _pi_weight_block(state, eta, x_blk, pdf_blk, axis, eps)
         phi_blk = u @ predictive_covariance(state, x_nys, x_blk)
-        gmax = jax.lax.pmax(jnp.max(jnp.abs(phi_blk)), axis)
-        phi_blk = phi_blk / jnp.maximum(gmax, 1e-30)
-        idx_loc, w_loc = local_reduce(phi_blk, w_blk, num_pts)
-        shard = jax.lax.axis_index(axis)
-        idx_glob = idx_loc + shard * x_blk.shape[0]
-        phi_surv = phi_blk[:, idx_loc]
+        idx_glob, w_loc, phi_surv = _local_survivor_block(
+            phi_blk, w_blk, num_pts, axis, x_blk.shape[0])
         return idx_glob, w_loc, phi_surv, w_blk
 
     fn = shard_map(
