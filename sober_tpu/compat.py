@@ -312,6 +312,85 @@ class CategoricalMLE:
     train = optimize
 
 
+# second-tier reference names (helpers users may import directly) ------------
+from .priors.base import BasePrior  # noqa: F401,E402
+from .priors.mvn_cdf import mvn_box_prob  # noqa: E402
+from .ops.kernels import make_kernel as _make_kernel  # noqa: E402
+
+#: SOBER/mvnorm/Phi.py:82 — Phi(value, loc, cov) = MVN CDF
+Phi = multivariate_normal_cdf
+#: SOBER/mvnorm/integration.py:37 — box probabilities P(lb < X < ub)
+hyperrectangle_integration = mvn_box_prob
+#: SOBER/FBGP/_fully_Bayesian_gp.py:93 — per-hypersample warped MLL (ours is
+#: the vmapped scalar function, not a per-theta object)
+from .gp.fbgp import fitbo_mll as LogMarginalLikelihood  # noqa: E402
+
+
+def lnPhi(x):
+    """SOBER/_tmvn.py:426 — log of the N(0,1) upper tail, roundoff-safe
+    (the reference uses scaled erfcx; log_ndtr is jax's equivalent
+    tail-accurate primitive)."""
+    return jax.scipy.special.log_ndtr(-jnp.asarray(x))
+
+
+def lnNormalProb(a, b):
+    """SOBER/_tmvn.py:402 — ln P(a < Z < b) for Z~N(0,1), accurate in both
+    tails (vectorized where the reference branches on index masks)."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    pa_hi, pb_hi = lnPhi(a), lnPhi(b)             # upper tails (a > 0 case)
+    hi = pa_hi + jnp.log1p(-jnp.exp(pb_hi - pa_hi))
+    pa_lo, pb_lo = lnPhi(-a), lnPhi(-b)           # lower tails (b < 0 case)
+    lo = pb_lo + jnp.log1p(-jnp.exp(pa_lo - pb_lo))
+    mid = jnp.log1p(-jnp.exp(pa_lo) - jnp.exp(pb_hi))  # straddling zero
+    return jnp.where(a > 0, hi, jnp.where(b < 0, lo, mid))
+
+
+def device_manager(device=None):
+    """SOBER/_settings.py-style device resolution (accelerator if present)."""
+    return jax.devices()[0] if device is None else device
+
+
+def dtype_manager(dtype=None):
+    """Default compute dtype (fp32 with highest matmul precision — the
+    package policy replacing the reference's float64 default)."""
+    return jnp.float32 if dtype is None else dtype
+
+
+def default_postprocess_script(values):
+    """SOBER/_drug_modelling.py:12 — identity postprocess hook."""
+    return values
+
+
+def BOLFIKernel(n_dims: int | None = None, ard: bool = False):
+    """SOBER/BOLFI/_gpytorch_bolfi_model.py:167-176 — the Gamma-hyperprior
+    RBF kernel spec (hyperpriors are applied at fit time via GPConfig)."""
+    return _make_kernel("rbf", n_dims=n_dims, ard=ard)
+
+
+def rc_kernel_svd(samp, pt, s, kernel, mu=None, calc_obj=None):
+    """SOBER/_rchq.py:42-48 — Nystrom basis + measure reduction; returns
+    (idx, w) like the reference."""
+    return recombination(samp, pt, s, kernel, init_weights=mu,
+                         calc_obj=calc_obj)
+
+
+def Tchernychova_Lyons_CAR(x, mu):
+    """SOBER/_rchq.py:224-270 — one Caratheodory elimination pass: reduce
+    the weighted configuration (x (N, n), mu (N,)) to <= n+1 support points
+    preserving the augmented moments [1 | x]^T mu. Returns the updated
+    weight vector (the reference also returns its debug sums)."""
+    from .core.rchq import _caratheodory
+
+    x = jnp.asarray(x, jnp.float32)
+    mu = jnp.asarray(mu, jnp.float32)
+    n_pts, n_feat = x.shape
+    ones = jnp.ones((n_pts, 1), x.dtype)
+    x_car = jnp.concatenate([x, ones], axis=1)       # mass column included
+    n_elim = max(n_pts - (n_feat + 1), 0)
+    return _caratheodory(x_car, mu, n_elim, jnp.ones(n_pts, x.dtype))
+
+
 __all__ = [
     # same-name
     "set_settings", "setting_parameters", "settings", "Sober", "BASQ",
@@ -337,6 +416,11 @@ __all__ = [
     # adapters
     "TensorManager", "SafeTensorOperator", "Utils", "WeightsStabiliser",
     "BernoulliMLE", "CategoricalMLE",
+    # second-tier helpers
+    "BasePrior", "mvn_box_prob", "Phi", "hyperrectangle_integration",
+    "LogMarginalLikelihood", "lnPhi", "lnNormalProb", "device_manager",
+    "dtype_manager", "default_postprocess_script", "BOLFIKernel",
+    "rc_kernel_svd", "Tchernychova_Lyons_CAR",
 ]
 
 

@@ -109,3 +109,60 @@ def test_ker_svd_sparsify():
     # descending eigenvalues, orthonormal rows
     assert bool((s_vals[:-1] >= s_vals[1:]).all())
     assert np.allclose(np.asarray(u @ u.T), np.eye(5), atol=1e-4)
+
+
+SECOND_TIER = [
+    "BasePrior", "mvn_box_prob", "Phi", "hyperrectangle_integration",
+    "LogMarginalLikelihood", "lnPhi", "lnNormalProb", "device_manager",
+    "dtype_manager", "default_postprocess_script", "BOLFIKernel",
+    "rc_kernel_svd", "Tchernychova_Lyons_CAR",
+]
+
+
+@pytest.mark.parametrize("name", SECOND_TIER)
+def test_second_tier_name_available(name):
+    assert getattr(compat, name) is not None
+
+
+def test_ln_normal_prob_accuracy():
+    """lnNormalProb must match scipy in both tails and the bulk."""
+    from scipy.stats import norm
+
+    cases = [(-1.0, 1.0), (3.0, 5.0), (-6.0, -4.0), (8.0, 12.0),
+             (-0.5, 9.0)]
+    for a, b in cases:
+        # tail-safe float64 oracle: P(a<Z<b) = sf(a) - sf(b) (cdf(b)-cdf(a)
+        # catastrophically cancels for deep positive tails)
+        want = np.log(norm.sf(a) - norm.sf(b))
+        got = float(compat.lnNormalProb(a, b))
+        assert abs(got - want) < 5e-4, (a, b, got, want)
+
+
+def test_tchernychova_lyons_car():
+    """One CAR pass reduces to <= n_feat+1 support points preserving the
+    augmented moments."""
+    rng = np.random.default_rng(0)
+    n, d = 40, 3
+    x = rng.normal(size=(n, d))
+    mu = rng.uniform(0.1, 1, n)
+    mu /= mu.sum()
+    mu_new = np.asarray(compat.Tchernychova_Lyons_CAR(x, mu), np.float64)
+    assert (mu_new >= 0).all()
+    assert np.count_nonzero(mu_new > 1e-10) <= d + 1
+    assert abs(mu_new.sum() - 1.0) < 1e-4
+    want = mu @ x
+    got = mu_new @ x
+    assert np.abs(got - want).max() < 1e-3, (got, want)
+
+
+def test_rc_kernel_svd_alias():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.uniform(-1, 1, (512, 2)), jnp.float32)
+
+    def kern(a, b):
+        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        return jnp.exp(-0.5 * d2)
+
+    idx, w = compat.rc_kernel_svd(x, x[:32], 8, kern)
+    assert idx.shape == (8,) and bool((w >= 0).all())
+    assert abs(float(w.sum()) - 1.0) < 1e-3
