@@ -62,8 +62,10 @@ def _rbf_np(x, y, ls, os_):
 
 
 class TestRCHQOracle:
-    @pytest.mark.parametrize("n_rec,n_nys,batch", [(2048, 64, 16),
-                                                   (4096, 128, 32)])
+    @pytest.mark.parametrize("n_rec,n_nys,batch", [(512, 32, 4),
+                                                   (2048, 64, 16),
+                                                   (4096, 128, 32),
+                                                   (8192, 96, 64)])
     def test_moment_matching_vs_reference(self, torch, n_rec, n_nys, batch):
         """Same candidates, same kernel, same initial weights: our
         recombination's moment-matching error (on an independent float64
