@@ -27,6 +27,9 @@ SCRIPTS = [
     ("examples/pest.py", TINY_BO),
     ("examples/rosenbrock.py", TINY_BO),
     ("examples/svm.py", TINY_BO),
+    ("examples/multichip.py",
+     dict(n_init=12, batch_size=8, n_rec=1024, n_nys=32, n_iterations=1,
+          verbose=False)),
     ("examples/fbgp_hartmann.py",
      dict(n_init=16, n_iterations=1, n_hypers=64, n_nys_qd=16, n_qd=8,
           n_rec=512, n_nys=32, batch_size=8)),
