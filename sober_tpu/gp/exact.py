@@ -256,8 +256,8 @@ def _fit_adam(params0: GPParams, x, y, cfg: GPConfig,
     opt = optax.adam(cfg.fit_lr)
     loss_fn = lambda p: neg_mll(p, x, y, cfg, mask)
 
-    def step(carry, _):
-        params, opt_state, best_loss, best_params = carry
+    def live_step(carry):
+        params, opt_state, best_loss, best_params, n_plateau, _ = carry
         loss, grad = jax.value_and_grad(loss_fn)(params)
         grad = jax.tree.map(jnp.nan_to_num, grad)
         if not cfg.train_lik:
@@ -267,11 +267,28 @@ def _fit_adam(params0: GPParams, x, y, cfg: GPConfig,
         improved = jnp.logical_and(jnp.isfinite(loss), loss < best_loss)
         best_params = jax.tree.map(
             lambda b, p: jnp.where(improved, p, b), best_params, params)
+        # plateau early-stop, 10-consecutive window (vs the L-BFGS path's
+        # 2: Adam's tail crawls at ~1e-5/step on hard shapes, so a short
+        # window would truncate genuine slow progress; 10 sub-1e-6 steps in
+        # a row means the remaining iterations are flat)
+        plateau = jnp.logical_and(
+            jnp.isfinite(loss),
+            best_loss - loss <= 1e-6 * jnp.maximum(jnp.abs(loss), 1.0))
+        plateau = jnp.logical_and(plateau, jnp.isfinite(best_loss))
+        n_plateau = jnp.where(plateau, n_plateau + 1, 0)
+        done = n_plateau >= 10
         best_loss = jnp.where(improved, loss, best_loss)
-        return (new_params, opt_state, best_loss, best_params), None
+        return (new_params, opt_state, best_loss, best_params, n_plateau,
+                done)
 
-    carry = (params0, opt.init(params0), jnp.asarray(jnp.inf), params0)
-    (params, _, _, best_params), _ = jax.lax.scan(
+    def step(carry, _):
+        done = carry[-1]
+        carry = jax.lax.cond(done, lambda c: c, live_step, carry)
+        return carry, None
+
+    carry = (params0, opt.init(params0), jnp.asarray(jnp.inf), params0,
+             jnp.asarray(0, jnp.int32), jnp.asarray(False))
+    (params, _, _, best_params, _, _), _ = jax.lax.scan(
         step, carry, None, length=cfg.fit_iters)
     # final candidate vs best iterate
     final_loss = loss_fn(params)
