@@ -36,6 +36,10 @@ def main(n_init=10, batch_size=30, n_rec=16384, n_nys=256, n_iterations=5,
     n_devices = n_devices or len(jax.devices())
     mesh = make_mesh(n_devices, axis_names=("cand",))
     # shard-friendly pool size: divisible by the mesh
+    if n_rec < n_devices:
+        raise ValueError(
+            f"n_rec={n_rec} must be >= n_devices={n_devices} to give every "
+            "shard at least one candidate")
     n_rec = (n_rec // n_devices) * n_devices
 
     prior, objective = setup_branin(seed=seed)

@@ -68,9 +68,11 @@ def _caratheodory(x: jax.Array, mu: jax.Array, n_elim: int,
     Reference: Tchernychova_Lyons_CAR, SOBER/_rchq.py:224-270. The reference
     never sees padding rows (its index story is compacted dynamically); here
     padding rows must not receive mass, so null directions are additionally
-    constrained to vanish on them: the constraint matrix is augmented with an
-    indicator column per masked row, and directions whose singular value is
-    not ~0 (i.e. not genuinely null) are skipped.
+    constrained to vanish on them. The basis is built in two cheap stages —
+    a complete-QR complement of the active constraint rows followed by a
+    small eigh split on the complement's inactive-row Gram (see the inline
+    comment below); directions with non-vanishing inactive-row amplitude
+    (eigenvalue above the split cutoff) are zeroed rather than used.
     """
     m, p = x.shape
     active0 = jnp.logical_and(mu > 0, row_mask > 0).astype(x.dtype)

@@ -269,8 +269,9 @@ def _fit_adam(params0: GPParams, x, y, cfg: GPConfig,
             lambda b, p: jnp.where(improved, p, b), best_params, params)
         # plateau early-stop, 10-consecutive window (vs the L-BFGS path's
         # 2: Adam's tail crawls at ~1e-5/step on hard shapes, so a short
-        # window would truncate genuine slow progress; 10 sub-1e-6 steps in
-        # a row means the remaining iterations are flat)
+        # window would truncate genuine slow progress). The criterion is
+        # no-improvement-over-best — a step that regresses also counts
+        # toward the window; best-iterate tracking makes that safe.
         plateau = jnp.logical_and(
             jnp.isfinite(loss),
             best_loss - loss <= 1e-6 * jnp.maximum(jnp.abs(loss), 1.0))
@@ -322,11 +323,13 @@ def _fit_lbfgs(params0: GPParams, x, y, cfg: GPConfig,
         improved = jnp.logical_and(jnp.isfinite(value), value < best_loss)
         best_params = jax.tree.map(
             lambda b, p: jnp.where(improved, p, b), best_params, params)
-        # early stop: loss plateaued for 2 consecutive steps (each live step
-        # is ~9 latency-bound Cholesky evals through the zoom linesearch;
-        # converged steps become a skipped cond branch, so fit cost tracks
-        # actual convergence; 2 consecutive guards against a transient
-        # linesearch stall that refreshed curvature would recover from)
+        # early stop: no improvement over the best loss for 2 consecutive
+        # steps (each live step is ~9 latency-bound Cholesky evals through
+        # the zoom linesearch; converged steps become a skipped cond branch,
+        # so fit cost tracks actual convergence). A worsening linesearch
+        # step counts toward the window too — 2 consecutive guards against
+        # a single transient stall that refreshed curvature would recover
+        # from, and best-iterate tracking keeps regressions harmless.
         plateau = jnp.logical_and(
             jnp.isfinite(value),
             best_loss - value <= 1e-6 * jnp.maximum(jnp.abs(value), 1.0))
