@@ -56,7 +56,8 @@ class FitboGP:
                  label: str = "wsabim", alpha_factor: float = 1.0,
                  lik: float = 1e-10, rng: float = 10.0,
                  train_lik: bool = False, optimiser: str = "lbfgs",
-                 fit_iters: int = 200, bucket: int = 128):
+                 fit_iters: int = 200, bucket: int = 128,
+                 ard: bool = False):
         self.label = label
         self.alpha_factor = alpha_factor
         self.bucket = bucket
@@ -64,7 +65,7 @@ class FitboGP:
         self.cfg = GPConfig(
             kernel_name=kernel_name, noise_lo=lik / rng, noise_hi=lik * rng,
             train_lik=train_lik, standardize_y=False, use_priors=False,
-            fit_iters=fit_iters)
+            fit_iters=fit_iters, ard=ard)
         self.optimiser = optimiser
         self.Y_unwarp = jnp.asarray(y_obs).reshape(-1)
         self._refit(jnp.asarray(x_obs), self.Y_unwarp)
@@ -163,23 +164,47 @@ class FitboGP:
 
 class RBFHyperPrior:
     """Log-normal hyperprior over theta = (eta_excess, noise, lengthscale,
-    outputscale) in log space (SOBER/FBGP/_hyperprior.py:6-83)."""
+    outputscale) in log space (SOBER/FBGP/_hyperprior.py:6-83).
 
-    def __init__(self, theta_map=None):
+    `n_ls` > 1 widens the lengthscale block to one entry per input
+    dimension (ARD); theta layout is then (eta_excess, noise,
+    ls_1..ls_{n_ls}, outputscale). The reference's hyperprior is
+    isotropic-only (4 fixed entries)."""
+
+    def __init__(self, theta_map=None, n_ls: int = 1):
+        self.n_ls = n_ls
         self.initialise(theta_map)
+
+    @property
+    def dim(self) -> int:
+        return 3 + self.n_ls
 
     def initialise(self, theta_map=None):
         if theta_map is None:
-            self.hypermu = jnp.array([-2.0, 0.1, 0.1, 0.4])
-            hyperstd = jnp.array([0.7, 1.0, 0.7, 0.7])
+            self.hypermu = jnp.concatenate([
+                jnp.array([-2.0, 0.1]),
+                jnp.full((self.n_ls,), 0.1),
+                jnp.array([0.4]),
+            ])
+            hyperstd = jnp.concatenate([
+                jnp.array([0.7, 1.0]),
+                jnp.full((self.n_ls,), 0.7),
+                jnp.array([0.7]),
+            ])
         else:
+            theta_map = jnp.asarray(theta_map).reshape(-1)
+            if theta_map.shape[0] != self.dim - 1:
+                raise ValueError(
+                    f"theta_map has {theta_map.shape[0]} entries; expected "
+                    f"{self.dim - 1} = (noise, {self.n_ls} lengthscale(s), "
+                    "outputscale)")
             self.hypermu = jnp.concatenate(
-                [jnp.array([-2.0]), jnp.log(jnp.asarray(theta_map))])
-            hyperstd = jnp.full((4,), 0.1)
+                [jnp.array([-2.0]), jnp.log(theta_map)])
+            hyperstd = jnp.full((self.dim,), 0.1)
         self.hyperstd = hyperstd
 
     def sample(self, key, n_samples: int) -> jax.Array:
-        z = jax.random.normal(key, (n_samples, 4))
+        z = jax.random.normal(key, (n_samples, self.dim))
         return self.hypermu[None, :] + z * self.hyperstd[None, :]
 
     def logpdf(self, theta) -> jax.Array:
@@ -226,7 +251,9 @@ def fitbo_mll(theta_log: jax.Array, x: jax.Array, fobs: jax.Array,
     Pure and vmap-able; padded rows (mask 0) contribute nothing."""
     big = jnp.exp(theta_log)
     eta_h = eta + big[0]
-    noise, ls, os_ = big[1], big[2], big[3]
+    # theta layout (eta_raw, noise, ls-block, outputscale): the ls block is
+    # 1 entry (isotropic) or d entries (ARD) — rbf_gram broadcasts either
+    noise, ls, os_ = big[1], big[2:-1], big[-1]
 
     gobs = jnp.sign(eta_h) * jnp.sqrt(jnp.maximum(2.0 * (eta_h - fobs), 0.0))
     if mask is not None:
@@ -276,10 +303,21 @@ def sampling_hypers(model: FitboGP, hyperprior: RBFHyperPrior,
     fobs = getattr(model, "fobs_padded", model.Y_unwarp)
     mask = model.model.mask
     eta = model.alpha
-    theta_map = jnp.array([
-        model.model.noise,
-        jnp.asarray(model.model.kernel.params["lengthscale"]).reshape(()),
-        model.model.kernel.params["outputscale"],
+    if "lengthscale" not in model.model.kernel.params:
+        raise ValueError(
+            "FBGP hypersampling needs a lengthscale-bearing kernel; "
+            f"{model.model.kernel.name!r} has none")
+    ls_map = jnp.atleast_1d(
+        jnp.asarray(model.model.kernel.params["lengthscale"]))
+    if ls_map.shape[0] != hyperprior.n_ls:
+        raise ValueError(
+            f"model lengthscale has {ls_map.shape[0]} dimension(s) but the "
+            f"hyperprior was built with n_ls={hyperprior.n_ls}; construct "
+            f"RBFHyperPrior(n_ls={ls_map.shape[0]}) for an ARD base model")
+    theta_map = jnp.concatenate([
+        jnp.atleast_1d(jnp.asarray(model.model.noise)),
+        ls_map,
+        jnp.atleast_1d(jnp.asarray(model.model.kernel.params["outputscale"])),
     ])
     if use_map:
         hyperprior.initialise(theta_map)
@@ -368,7 +406,7 @@ def _chain_cache(theta, x, fobs, mask):
     """One chain's conditioning cache: Cholesky of K+noise and alpha on the
     WSABI-warped targets (pure function so the vmapped sweep below compiles
     once per observation-bucket shape rather than per FBGP refit)."""
-    eta_h, noise, ls, os_ = theta[0], theta[1], theta[2], theta[3]
+    eta_h, noise, ls, os_ = theta[0], theta[1], theta[2:-1], theta[-1]
     gobs = jnp.sign(eta_h) * jnp.sqrt(
         jnp.maximum(2.0 * (eta_h - fobs), 0.0))
     params = {"lengthscale": ls, "outputscale": os_}
@@ -400,7 +438,7 @@ class FullyBayesianGP:
         self.mask = gp.model.mask
         self.eta = gp.alpha
         self.w_qd = jnp.asarray(w_qd)
-        self.Theta_qd = jnp.asarray(theta_qd)     # (q, 4) ORIGINAL space
+        self.Theta_qd = jnp.asarray(theta_qd)     # (q, 3+n_ls) ORIGINAL space
         self._build_caches()
 
     def _build_caches(self):
@@ -411,7 +449,7 @@ class FullyBayesianGP:
     def fitbo_predict(self, x_test, theta, chol, alpha):
         """One chain's f-space posterior (fitbo_predict,
         SOBER/FBGP/_fully_Bayesian_gp.py:262-289)."""
-        eta_h, noise, ls, os_ = theta[0], theta[1], theta[2], theta[3]
+        eta_h, noise, ls, os_ = theta[0], theta[1], theta[2:-1], theta[-1]
         params = {"lengthscale": ls, "outputscale": os_}
         kqx = rbf_gram(params, x_test, self.Xobs)
         if self.mask is not None:
@@ -466,7 +504,7 @@ def _fbgp_chain_mu(tree, x_test):
     x_obs, theta_qd, chol, alpha, w_qd, mask = tree
 
     def one(theta, chol_i, alpha_i):
-        eta_h, noise, ls, os_ = theta[0], theta[1], theta[2], theta[3]
+        eta_h, noise, ls, os_ = theta[0], theta[1], theta[2:-1], theta[-1]
         params = {"lengthscale": ls, "outputscale": os_}
         kqx = rbf_gram(params, x_test, x_obs)
         if mask is not None:

