@@ -112,15 +112,40 @@ def mvn_box_prob(lower: jax.Array, upper: jax.Array, loc: jax.Array,
     return _genz_box_prob((lower - loc) / sd, (upper - loc) / sd, chol, w)
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(3,))
 def multivariate_normal_cdf(value: jax.Array, loc: jax.Array,
                             covariance_matrix: jax.Array,
                             n_qmc: int = 8192) -> jax.Array:
     """P(X < value), X ~ N(loc, covariance_matrix).
 
     Mirrors SOBER/mvnorm/multivariate_normal_cdf.py:13 (upper-limit form,
-    diff=value-loc). `value`/`loc` broadcast over leading batch dims.
-    """
+    diff=value-loc). `value`/`loc` broadcast over leading batch dims; like
+    the reference (torch-distributions convention, per-element fan-out in
+    SOBER/mvnorm/integration.py:21-28), `covariance_matrix` may also carry
+    leading batch dims (..., d, d) that broadcast against value/loc — each
+    batch element then gets its own Genz evaluation (vmapped on-device
+    instead of the reference's joblib process fan-out)."""
+    cov = jnp.asarray(covariance_matrix)
+    if cov.ndim <= 2:
+        return _mvn_cdf_shared_cov(value, loc, cov, n_qmc)
+    value = jnp.atleast_1d(value)
+    loc = jnp.broadcast_to(jnp.atleast_1d(loc), value.shape)
+    d = cov.shape[-1]
+    batch = jnp.broadcast_shapes(value.shape[:-1], cov.shape[:-2])
+    value = jnp.broadcast_to(value, batch + (d,)).reshape(-1, d)
+    loc = jnp.broadcast_to(loc, batch + (d,)).reshape(-1, d)
+    cov = jnp.broadcast_to(cov, batch + (d, d)).reshape(-1, d, d)
+    vals = jax.vmap(
+        lambda v, l, c: _mvn_cdf_shared_cov(v, l, c, n_qmc))(value, loc, cov)
+    return vals.reshape(batch)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(3,))
+def _mvn_cdf_shared_cov(value: jax.Array, loc: jax.Array,
+                        covariance_matrix: jax.Array,
+                        n_qmc: int = 8192) -> jax.Array:
+    """Single-covariance core: value/loc batched, cov (d, d) shared.
+    The closed-form gradient (value/loc/cov) is installed on THIS function;
+    the batched-cov public wrapper differentiates through vmap of it."""
     value = jnp.atleast_1d(value)
     loc = jnp.broadcast_to(jnp.atleast_1d(loc), value.shape)
     d = value.shape[-1]
@@ -255,4 +280,4 @@ def _mvn_cdf_jvp(n_qmc, primals, tangents):
 # symbolic_zeros: the covariance branch (d(d-1)/2 extra CDF evaluations) is
 # skipped entirely when no covariance tangent is requested — the common
 # loc/value-gradient path costs the same as before
-multivariate_normal_cdf.defjvp(_mvn_cdf_jvp, symbolic_zeros=True)
+_mvn_cdf_shared_cov.defjvp(_mvn_cdf_jvp, symbolic_zeros=True)
