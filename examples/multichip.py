@@ -1,11 +1,21 @@
-"""Multi-chip batch BO: the acquisition sharded over a device mesh.
+"""Multi-chip batch BO: the FULL SOBER pipeline on a device mesh.
 
-Runs the quick-start Branin loop with the candidate pool sharded across
-all available devices and the acquisition executed by
-`sober_tpu.parallel.sharded_acquisition` — ONE shard_map program whose
-communication (two scalar collectives + a survivor all-gather) is
-independent of the pool size. No reference analogue: the reference is
-single-device (SURVEY.md §5.8). Design notes: docs/MULTICHIP.md.
+`Sober(prior, model, mesh=...)` is the first-class multi-chip mode: the
+learned-proposal pipeline — pi-importance sweep, WKDE/prior updates,
+recursive refill, KMeans Nystrom selection, kernel recombination — runs
+with the candidate pools row-sharded over the mesh's "cand" axis. Two
+schedules:
+
+  * "gspmd" (default): XLA auto-partitions the single-device programs
+    (identical results to mesh=None — sharding is a placement decision,
+    not an algorithm change).
+  * "blockwise": the recombination switches to the explicit shard_map
+    schedule (parallel/sharded.py) — per-device local reduction trees,
+    only <= batch_size survivors communicated, communication independent
+    of the pool size.
+
+No reference analogue: the reference is single-device (SURVEY.md §5.8).
+Design notes: docs/MULTICHIP.md.
 
 On a real TPU slice, run as-is (the mesh picks up every local device). On
 a CPU host, set
@@ -20,19 +30,15 @@ import time
 import jax
 import jax.numpy as jnp
 
+from sober_tpu.core.sober import Sober
 from sober_tpu.gp.exact import fit_gp_padded
-from sober_tpu.gp import posterior_max_mean
-from sober_tpu.parallel import (
-    make_mesh,
-    shard_candidates,
-    sharded_acquisition,
-)
+from sober_tpu.parallel import make_mesh
 from sober_tpu.tasks.synthetic import setup_branin
 from sober_tpu.utils.prng import KeyRing
 
 
-def main(n_init=10, batch_size=30, n_rec=16384, n_nys=256, n_iterations=5,
-         seed=0, n_devices=None, verbose=True, **_):
+def main(n_init=10, batch_size=30, n_rec=16384, n_nys=128, n_iterations=5,
+         seed=0, n_devices=None, schedule="gspmd", verbose=True, **_):
     n_devices = n_devices or len(jax.devices())
     mesh = make_mesh(n_devices, axis_names=("cand",))
     # shard-friendly pool size: divisible by the mesh
@@ -49,17 +55,14 @@ def main(n_init=10, batch_size=30, n_rec=16384, n_nys=256, n_iterations=5,
     best = float(y_all.max())
     history = []
 
+    state = fit_gp_padded(x_all, y_all)
+    sober = Sober(prior, state, seed=seed, mesh=mesh, schedule=schedule)
+
     for it in range(n_iterations):
         start = time.monotonic()
-        state = fit_gp_padded(x_all, y_all)
-        eta = posterior_max_mean(state)
-
-        x_cand = prior.sample(keys.next(), n_rec)
-        prior_pdf = prior.pdf(x_cand)
-        x_sh = shard_candidates(mesh, x_cand)
-        idx, w, _ = sharded_acquisition(
-            mesh, state, eta, x_sh, x_cand[:n_nys], prior_pdf, batch_size)
-        x_batch = x_cand[idx]
+        # full pipeline on the mesh: prior resets/updates, pi sweep,
+        # recursive refill, KMeans Nystrom, sharded recombination
+        x_batch = sober.next_batch(n_rec, n_nys, batch_size)
         interval = time.monotonic() - start
 
         y_batch = objective(x_batch)
@@ -69,7 +72,10 @@ def main(n_init=10, batch_size=30, n_rec=16384, n_nys=256, n_iterations=5,
         history.append((best, interval))
         if verbose:
             print(f"iter {it}: best {best:.4f}  acq {interval:.3f}s  "
-                  f"({n_devices} devices, pool {n_rec})", flush=True)
+                  f"({n_devices} devices, pool {n_rec}, {schedule})",
+                  flush=True)
+        state = fit_gp_padded(x_all, y_all)
+        sober.update_model(state)
     return history
 
 

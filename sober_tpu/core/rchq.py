@@ -289,8 +289,8 @@ def _reduce_tree(phi_ext: jax.Array, obj_ext: Optional[jax.Array],
     return mu_final
 
 
-def local_reduce(phi: jax.Array, mu: jax.Array, num_pts: int
-                 ) -> RecombinationResult:
+def local_reduce(phi: jax.Array, mu: jax.Array, num_pts: int,
+                 obj: Optional[jax.Array] = None) -> RecombinationResult:
     """Reduce one (n_test, blk) feature strip with (unnormalized) weights mu
     to <= num_pts support points, PRESERVING the strip's total mass and its
     feature moments: sum w = sum mu and phi @ scatter(w) ~= phi @ mu.
@@ -299,7 +299,14 @@ def local_reduce(phi: jax.Array, mu: jax.Array, num_pts: int
     (parallel/sharded.py:sharded_recombination): recombination distributes
     over a partition of the measure, so each device reduces its own shard
     and only the <= num_pts survivors are communicated. phi must already
-    carry any global normalization."""
+    carry any global normalization (extra pinned-integrand rows included —
+    they are just rows of phi here).
+
+    `obj` is an optional (blk,) ALREADY-NEGATED acquisition row (the
+    reference convention obj = -calc_obj, SOBER/_rchq.py:69): it rides the
+    halving tree as an extra constraint row and spends the final degree of
+    freedom on a null-space push, mirroring the single-device augmented
+    path (see _reduce_tree / _null_space_push)."""
     n_rows, blk = phi.shape
     if num_pts != n_rows + 1:
         raise ValueError("num_pts must equal n_test + 1")
@@ -309,7 +316,9 @@ def local_reduce(phi: jax.Array, mu: jax.Array, num_pts: int
     phi_ext = jnp.concatenate(
         [phi, jnp.zeros((n_rows, 1), phi.dtype)], axis=1)
     mu_ext = jnp.concatenate([mu_n, jnp.zeros((1,), mu.dtype)])
-    mu_fin = _reduce_tree(phi_ext, None, mu_ext, n_rows, blk)
+    obj_ext = (None if obj is None
+               else jnp.concatenate([obj, jnp.zeros((1,), obj.dtype)]))
+    mu_fin = _reduce_tree(phi_ext, obj_ext, mu_ext, n_rows, blk)
     w, idx = jax.lax.top_k(mu_fin[:blk], num_pts)
     return RecombinationResult(idx.astype(jnp.int32), w * mass)
 

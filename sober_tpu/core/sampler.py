@@ -47,15 +47,60 @@ from .rchq import recombination
 
 
 class RecombinationSampler:
-    """Kernel recombination step (SOBER/_sampler.py:11-59)."""
+    """Kernel recombination step (SOBER/_sampler.py:11-59).
 
-    def __init__(self, kernel: Callable, thresh: int = 5, seed: int = 0):
+    Multi-chip: when `mesh` is set (Sober(mesh=...)), candidate pools are
+    placed row-sharded over the mesh's "cand" axis and every downstream
+    stage runs on it. Two schedules:
+
+      * "gspmd" (default): the SAME single-device programs run on sharded
+        inputs — XLA auto-partitions the pi sweep, the Gram strips, and the
+        reduction tree and inserts the collectives (the scaling-book
+        recipe: pick a mesh, annotate shardings, let XLA do the rest).
+        Results match the single-device path (identical program).
+      * "blockwise": kernel recombination switches to the explicit
+        shard_map schedule (parallel/sharded.py:sharded_recombination) —
+        per-device local trees, only <= batch_size survivors communicated;
+        communication independent of pool size. Selection differs from the
+        single-device tree by bracketing (same quadrature invariants).
+    """
+
+    def __init__(self, kernel: Callable, thresh: int = 5, seed: int = 0,
+                 mesh=None, schedule: str = "gspmd"):
+        if schedule not in ("gspmd", "blockwise"):
+            raise ValueError('schedule must be "gspmd" or "blockwise"')
         self.kernel = kernel
         self.thresh = thresh
         self.keys = KeyRing(seed)
+        self.mesh = mesh
+        self.schedule = schedule
+
+    def _place_cand(self, x):
+        """Row-shard a candidate-axis array over the mesh (no-op without
+        one). Row count must divide the mesh for explicit shard_map
+        schedules; GSPMD tolerates any shape, so uneven pools just stay
+        unsharded."""
+        if self.mesh is None:
+            return x
+        from ..parallel.mesh import shard_candidates
+
+        n_dev = self.mesh.devices.size
+        if x.shape[0] % n_dev:
+            if self.schedule == "blockwise":
+                raise ValueError(
+                    f"pool size {x.shape[0]} must be divisible by the "
+                    f"{n_dev}-device mesh for the blockwise schedule")
+            return x
+        return shard_candidates(self.mesh, x)
 
     def sampling_recombination(self, x_cand, x_nys, weights, batch_size,
                                calc_obj=None):
+        if self.mesh is not None and self.schedule == "blockwise":
+            from ..parallel.sharded import sharded_recombination
+
+            return sharded_recombination(
+                self.mesh, self.kernel, x_cand, x_nys, weights, batch_size,
+                calc_obj=calc_obj)
         return recombination(x_cand, x_nys, batch_size, self.kernel,
                              init_weights=weights, calc_obj=calc_obj)
 
@@ -64,8 +109,10 @@ class EmpiricalSampler(RecombinationSampler):
     """pi-importance sampling pipeline (SOBER/_sampler.py:61-382)."""
 
     def __init__(self, prior: BasePrior, pi, kernel: Callable,
-                 thresh: int = 5, label: str = "mixedbinary", seed: int = 0):
-        super().__init__(kernel, thresh=thresh, seed=seed)
+                 thresh: int = 5, label: str = "mixedbinary", seed: int = 0,
+                 mesh=None, schedule: str = "gspmd"):
+        super().__init__(kernel, thresh=thresh, seed=seed, mesh=mesh,
+                         schedule=schedule)
         self.thresh_initial = thresh
         self.prior = prior
         self.pi = pi
@@ -124,8 +171,15 @@ class EmpiricalSampler(RecombinationSampler):
     # -- sampling ------------------------------------------------------------
 
     def sampling(self, n_rec: int):
-        """One pool draw: X ~ prior, w = pi(X)/p(X) (SOBER/_sampler.py:173-187)."""
-        x_cand = self.prior.sample(self.keys.next(), n_rec)
+        """One pool draw: X ~ prior, w = pi(X)/p(X) (SOBER/_sampler.py:173-187).
+
+        With a mesh, the drawn pool is placed row-sharded BEFORE the pi
+        sweep and pdf evaluation — the O(n_rec * n_obs) predict and the
+        O(n_rec * n_comp) proposal pdf (the heavy per-draw stages) then run
+        partitioned over the candidate axis. The draw itself is O(n_rec*d)
+        elementwise and stays replicated so the mesh mode consumes the
+        SAME PRNG stream as the single-device path."""
+        x_cand = self._place_cand(self.prior.sample(self.keys.next(), n_rec))
         weights = self.pi(x_cand) / jnp.maximum(self.prior.pdf(x_cand), 1e-38)
         return x_cand, cleansing_weights(weights)
 
@@ -133,6 +187,8 @@ class EmpiricalSampler(RecombinationSampler):
         """Pool draw returning values and index representation
         (SOBER/_sampler.py:189-203)."""
         x_cand, x_indices = self.prior.sample_both(self.keys.next(), n_rec)
+        x_cand = self._place_cand(x_cand)
+        x_indices = self._place_cand(x_indices)
         if hasattr(self.prior, "pdf_indices"):
             pdfs = self.prior.pdf_indices(x_indices)
         else:
@@ -235,15 +291,21 @@ class EmpiricalSampler(RecombinationSampler):
                           dataset_pruning: bool = True):
         """pi over the whole dataset -> prune -> Nystrom subset
         (SOBER/_sampler.py:351-382). Returns (idx_sampled, X_cand, X_nys,
-        weights); idx_sampled maps pool rows to dataset rows."""
+        weights); idx_sampled maps pool rows to dataset rows.
+
+        With a mesh, the full (n_total, d) feature matrix is placed
+        row-sharded, so the dataset-domain pi sweep — the dominant cost at
+        reference scale (133k x 2048 Tanimoto fingerprints, SURVEY §5.7) —
+        and the top-k pruning run partitioned over devices; only the
+        pruned (n_rec, d) pool is gathered."""
         assert n_rec > n_nys
-        x_all = self.prior.available_candidates()
+        x_all = self._place_cand(self.prior.available_candidates())
         weights = self.pi(x_all)
         weights = jnp.where(self.prior.available_mask(), weights, 0.0)
 
         if dataset_pruning:
             idx_sampled, keep = self.adaptive_pruning(weights, n_rec, n_nys)
-            x_cand = x_all[idx_sampled]
+            x_cand = self._place_cand(x_all[idx_sampled])
             w = jnp.where(keep, weights[idx_sampled], 0.0)
         else:
             idx_sampled = jnp.arange(x_all.shape[0])

@@ -24,7 +24,8 @@ class Sober(EmpiricalSampler):
     def __init__(self, prior, model, thresh: int = 5,
                  sampler_type: str = "lfi",
                  kernel_type: str = "predictive_covariance",
-                 dataset_pruning: bool = True, seed: int = 0):
+                 dataset_pruning: bool = True, seed: int = 0,
+                 mesh=None, schedule: str = "gspmd"):
         """(SOBER/_sober.py:9-39)
 
         Args:
@@ -37,6 +38,15 @@ class Sober(EmpiricalSampler):
           kernel_type: "predictive_covariance" |
                        "weighted_predictive_covariance" | "kernel"
           dataset_pruning: prune dataset candidate pools by pi weight
+          mesh: optional jax.sharding.Mesh with a "cand" axis — runs the
+                FULL pipeline (pi sweep, learned-proposal updates, Nystrom
+                selection, recombination, dataset pruning) with candidate
+                pools sharded over the mesh. No reference analogue (the
+                reference is single-device, SURVEY §5.8).
+          schedule: "gspmd" (XLA auto-partitioning of the single-device
+                programs — same results as mesh=None) or "blockwise"
+                (explicit shard_map recombination with pool-size-
+                independent communication); see RecombinationSampler.
         """
         self.sampler_type = sampler_type
         self.kernel_type = kernel_type
@@ -46,7 +56,7 @@ class Sober(EmpiricalSampler):
         self.n_batches_until_reset = 3
         self.last_timings: dict[str, float] = {}
         super().__init__(prior, pi, kernel, thresh=thresh, label=prior.type,
-                         seed=seed)
+                         seed=seed, mesh=mesh, schedule=schedule)
 
     # -- model wiring --------------------------------------------------------
 

@@ -42,19 +42,34 @@ def _pi_weight_block(state, eta, x_blk, pdf_blk, axis, eps):
     return jnp.where(total > 0, w / safe, jnp.full_like(w, 1.0) / n)
 
 
-def _local_survivor_block(phi_blk, w_blk, num_pts, axis, blk_size):
+def _local_survivor_block(phi_blk, w_blk, num_pts, axis, blk_size,
+                          extra_blk=None, obj_blk=None):
     """Per-shard reduction: global phi scaling (pmax), full local halving
     tree, and the <= num_pts survivors with global indices. Shared by
-    sharded_recombination and sharded_acquisition."""
+    sharded_recombination and sharded_acquisition.
+
+    `extra_blk` is this shard's strip of pinned-integrand rows (normalized
+    per-row by a global pmax, matching core/rchq.py's per-row extra_scale)
+    appended below the eigenfunction rows; `obj_blk` is this shard's strip
+    of the ALREADY-NEGATED acquisition row, which rides the local tree and
+    is returned restricted to the survivors so the replicated merge can
+    keep optimizing it."""
     from ..core.rchq import local_reduce
 
     gmax = jax.lax.pmax(jnp.max(jnp.abs(phi_blk)), axis)
     phi_blk = phi_blk / jnp.maximum(gmax, 1e-30)
-    idx_loc, w_loc = local_reduce(phi_blk, w_blk, num_pts)
+    if extra_blk is not None:
+        escale = jax.lax.pmax(
+            jnp.max(jnp.abs(extra_blk), axis=1, keepdims=True), axis)
+        phi_blk = jnp.concatenate(
+            [phi_blk, extra_blk / jnp.maximum(escale, 1e-30)], axis=0)
+    idx_loc, w_loc = local_reduce(phi_blk, w_blk, num_pts, obj=obj_blk)
     shard = jax.lax.axis_index(axis)
     idx_glob = idx_loc + shard * blk_size
-    phi_surv = phi_blk[:, idx_loc]                          # (n_test, num_pts)
-    return idx_glob, w_loc, phi_surv
+    phi_surv = phi_blk[:, idx_loc]                          # (num_pts-1, num_pts)
+    if obj_blk is None:
+        return idx_glob, w_loc, phi_surv
+    return idx_glob, w_loc, phi_surv, obj_blk[idx_loc]
 
 
 def sharded_pi_weights(mesh: Mesh, state: GPState, eta: jax.Array,
@@ -121,7 +136,8 @@ def sharded_barycenter_sums(mesh: Mesh, phi_sharded: jax.Array,
 
 def sharded_recombination(mesh: Mesh, kernel, x_cand: jax.Array,
                           x_nys: jax.Array, weights: jax.Array,
-                          num_pts: int, axis: str = "cand"):
+                          num_pts: int, axis: str = "cand",
+                          calc_obj=None, extra_test_rows=None):
     """End-to-end kernel recombination with the candidate axis sharded: the
     (n_test, n_rec) feature strip NEVER materializes replicated.
 
@@ -148,6 +164,17 @@ def sharded_recombination(mesh: Mesh, kernel, x_cand: jax.Array,
     (core/rckernel.py); `weights` should be globally cleansed/normalized
     (e.g. sharded_pi_weights output). Returns (idx (num_pts,), w (num_pts,))
     with global indices into x_cand.
+
+    Acquisition augmentation (VERDICT r2 item #2), mirroring the
+    single-device path (core/rchq.py:160-192,443-447; reference
+    SOBER/_rchq.py:79-105,138-196): `calc_obj` (callable or
+    stable-callable, X -> (n,) values to MAXIMIZE) adds the negated
+    objective row to every per-shard halving round and to the replicated
+    merge, whose final null-space push spends the spare degree of freedom
+    on it. `extra_test_rows` ((k, n_rec), sharded like the pool) are
+    pinned-integrand rows matched exactly alongside the eigenfunctions (k
+    eigenfunction slots are given up, as in core/rchq.py:396-397) — this
+    is what the exact-evidence BASQ quadrature needs multi-chip.
     """
     from ..core.rchq import local_reduce
     from ..utils.linalg import symmetrize
@@ -156,38 +183,60 @@ def sharded_recombination(mesh: Mesh, kernel, x_cand: jax.Array,
         k_apply, k_tree = kernel.rc_apply, kernel.rc_tree
     else:
         k_apply, k_tree = (lambda _, x, y: kernel(x, y)), None
+    if calc_obj is None:
+        o_apply, o_tree = None, None
+    elif hasattr(calc_obj, "rc_apply"):
+        o_apply, o_tree = calc_obj.rc_apply, calc_obj.rc_tree
+    else:
+        o_apply, o_tree = (lambda _, x: calc_obj(x)), None
 
     if x_nys.shape[0] < num_pts:
         raise ValueError(
             f"n_nys={x_nys.shape[0]} must be >= num_pts={num_pts}")
-    n_test = num_pts - 1
+    n_extra = 0 if extra_test_rows is None else extra_test_rows.shape[0]
+    n_test = num_pts - 1 - n_extra
+    if n_test < 1:
+        raise ValueError("num_pts too small for the extra test rows")
     # symmetrize only — jitter shifts eigenvalues, not eigenvectors
     # (matches core/rchq.py's basis construction)
     k_nys = symmetrize(jnp.nan_to_num(k_apply(k_tree, x_nys, x_nys)))
     _, eigvecs = jnp.linalg.eigh(k_nys)
     u = eigvecs[:, -n_test:].T                              # (n_test, n_nys)
 
-    def block(k_tree, u, x_nys, x_blk, w_blk):
-        phi_blk = u @ k_apply(k_tree, x_nys, x_blk)         # (n_test, blk)
-        return _local_survivor_block(phi_blk, w_blk, num_pts, axis,
-                                     x_blk.shape[0])
+    use_obj = calc_obj is not None
+    use_extra = extra_test_rows is not None
 
+    def block(k_tree, o_tree, u, x_nys, x_blk, w_blk, extra_blk):
+        phi_blk = u @ k_apply(k_tree, x_nys, x_blk)         # (n_test, blk)
+        obj_blk = -o_apply(o_tree, x_blk) if use_obj else None
+        return _local_survivor_block(phi_blk, w_blk, num_pts, axis,
+                                     x_blk.shape[0], extra_blk=extra_blk,
+                                     obj_blk=obj_blk)
+
+    out_specs = [P(axis), P(axis), P(None, axis)]
+    if use_obj:
+        out_specs.append(P(axis))
+    extra_spec = P(None, axis) if use_extra else P()
     fn = shard_map(
         block, mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis, None), P(axis)),
-        out_specs=(P(axis), P(axis), P(None, axis)),
+        in_specs=(P(), P(), P(), P(), P(axis, None), P(axis), extra_spec),
+        out_specs=tuple(out_specs),
     )
-    idx_surv, w_surv, phi_surv = fn(k_tree, u, x_nys, x_cand, weights)
+    out = fn(k_tree, o_tree, u, x_nys, x_cand, weights, extra_test_rows)
+    if use_obj:
+        idx_surv, w_surv, phi_surv, obj_surv = out
+    else:
+        (idx_surv, w_surv, phi_surv), obj_surv = out, None
 
     # final replicated merge over n_devices * num_pts survivors (tiny)
-    idx_fin, w_fin = local_reduce(phi_surv, w_surv, num_pts)
+    idx_fin, w_fin = local_reduce(phi_surv, w_surv, num_pts, obj=obj_surv)
     return idx_surv[idx_fin], w_fin
 
 
 def sharded_acquisition(mesh: Mesh, state: GPState, eta: jax.Array,
                         x_cand: jax.Array, x_nys: jax.Array,
                         prior_pdf: jax.Array, num_pts: int,
-                        axis: str = "cand"):
+                        axis: str = "cand", calc_obj=None):
     """The full SOBER acquisition (pi weighting + kernel recombination) as
     ONE shard_map program over the candidate axis — the multi-chip analogue
     of core/fused.py:fused_acquisition.
@@ -198,6 +247,11 @@ def sharded_acquisition(mesh: Mesh, state: GPState, eta: jax.Array,
     are gathered for the tiny replicated merge. Communication: two scalar
     collectives + one all-gather of O(n_devices * num_pts * n_test) floats,
     independent of n_rec.
+
+    `calc_obj` (callable or stable-callable, X -> values to MAXIMIZE)
+    augments both the per-shard trees and the merge with the negated
+    acquisition row — the multi-chip form of the BOLFI-UCB-augmented
+    selection (core/rchq.py:443-447; reference SOBER/_rchq.py:79-105).
 
     Returns (idx, w, weights): global batch indices, quadrature weights,
     and the cleansed pool weights (sharded over `axis`).
@@ -216,21 +270,35 @@ def sharded_acquisition(mesh: Mesh, state: GPState, eta: jax.Array,
     _, eigvecs = jnp.linalg.eigh(k_nys)
     u = eigvecs[:, -n_test:].T                              # (n_test, n_nys)
 
-    def block(state, eta, u, x_nys, x_blk, pdf_blk):
+    if calc_obj is None:
+        o_apply, o_tree = None, None
+    elif hasattr(calc_obj, "rc_apply"):
+        o_apply, o_tree = calc_obj.rc_apply, calc_obj.rc_tree
+    else:
+        o_apply, o_tree = (lambda _, x: calc_obj(x)), None
+    use_obj = calc_obj is not None
+
+    def block(state, eta, o_tree, u, x_nys, x_blk, pdf_blk):
         w_blk = _pi_weight_block(state, eta, x_blk, pdf_blk, axis, eps)
         phi_blk = u @ predictive_covariance(state, x_nys, x_blk)
-        idx_glob, w_loc, phi_surv = _local_survivor_block(
-            phi_blk, w_blk, num_pts, axis, x_blk.shape[0])
-        return idx_glob, w_loc, phi_surv, w_blk
+        obj_blk = -o_apply(o_tree, x_blk) if use_obj else None
+        out = _local_survivor_block(
+            phi_blk, w_blk, num_pts, axis, x_blk.shape[0], obj_blk=obj_blk)
+        return out + (w_blk,)
 
+    out_specs = ([P(axis), P(axis), P(None, axis)]
+                 + ([P(axis)] if use_obj else []) + [P(axis)])
     fn = shard_map(
         block, mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P(axis, None), P(axis)),
-        out_specs=(P(axis), P(axis), P(None, axis), P(axis)),
+        in_specs=(P(), P(), P(), P(), P(), P(axis, None), P(axis)),
+        out_specs=tuple(out_specs),
     )
-    idx_surv, w_surv, phi_surv, weights = fn(
-        state, eta, u, x_nys, x_cand, prior_pdf)
-    idx_fin, w_fin = local_reduce(phi_surv, w_surv, num_pts)
+    out = fn(state, eta, o_tree, u, x_nys, x_cand, prior_pdf)
+    if use_obj:
+        idx_surv, w_surv, phi_surv, obj_surv, weights = out
+    else:
+        (idx_surv, w_surv, phi_surv, weights), obj_surv = out, None
+    idx_fin, w_fin = local_reduce(phi_surv, w_surv, num_pts, obj=obj_surv)
     return idx_surv[idx_fin], w_fin, weights
 
 
