@@ -305,6 +305,8 @@ class SoberWrapper:
         self.Y_all_mean = self.Y_all.mean()
         self.Y_all_std = jnp.maximum(self.Y_all.std(ddof=1), 1e-12)
         self.Y_all = (self.Y_all - self.Y_all_mean) / self.Y_all_std
+        if self.visualizations and self.Y_all.shape[0]:
+            self.visualize_objective_histograms()
         self.set_rbf_model(self.X_all, self.Y_all, use_bolfi=self.use_bolfi)
         self.sober = Sober(self.prior, self.surrogate_model)
         self.results = []
@@ -388,6 +390,107 @@ class SoberWrapper:
                     ax.scatter(x[:, j], x[:, i], s=4)
         fig.suptitle("correlation plot of prior sampling")
         plt.show()
+
+    def visualize_objective_histograms(self):
+        """Objective / log-likelihood histograms, rendered when
+        initialize_sober runs with visualizations=True
+        (SOBER/_sober_wrapper.py:328-343)."""
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(1, 2, tight_layout=True, figsize=(8, 4))
+        y = np.asarray(self.Y_all_mean + self.Y_all_std * self.Y_all)
+        ax[0].hist(y, 50)
+        if self.custom_objective_and_loglikelihood is None:
+            ax[0].set_title("log distances histogram")
+            ax[0].set_xlabel("log distance values")
+        else:
+            ax[0].set_title("custom objective histogram")
+            ax[0].set_xlabel("custom objective values")
+        ax[0].set_ylabel("occurrences")
+        ax[1].hist(np.asarray(self.LL_all), 50)
+        ax[1].set_title("log likelihoods histogram")
+        ax[1].set_xlabel("log likelihood values")
+        plt.show()
+        return fig
+
+    def map_vs_best_table(self, basq, map_normalized, map_params,
+                          best_norm, best_observed, verbose: bool = True):
+        """Tabulated MAP vs best-observed comparison: parameters (back in
+        the caller's space), BASQ posterior density, and log-likelihood
+        (SOBER/_sober_wrapper.py:946-969; rendered with a fixed-width
+        formatter instead of tabulate). Returns the rows."""
+        rows = [["Location", "Parameters", "Posterior", "Log-Likelihood"]]
+        for name, norm, params in (
+                ("MAP", map_normalized, map_params),
+                ("best observed", best_norm, best_observed)):
+            post = float(basq.posterior(jnp.atleast_2d(norm))[0])
+            ll = float(jnp.atleast_1d(
+                self.objective_and_loglikelihood_function(
+                    jnp.atleast_2d(norm), sober_batch=False)[1])[0])
+            rows.append([name,
+                         np.array2string(np.asarray(params), precision=4),
+                         f"{post:.4e}", f"{ll:.4e}"])
+        if verbose:
+            widths = [max(len(str(r[c])) for r in rows) for c in range(4)]
+            sep = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+            print(sep)
+            for k, r in enumerate(rows):
+                print("| " + " | ".join(
+                    str(v).ljust(w) for v, w in zip(r, widths)) + " |")
+                if k == 0:
+                    print(sep)
+            print(sep)
+        return rows
+
+    def visualize_posterior(self, taken_samples):
+        """Posterior pairplot with axis back-transformation through the
+        eigen-order map (SOBER/_sober_wrapper.py:971-1015): samples are
+        re-ordered to the original parameter order via diag_order (the
+        back-diagonalization matrix would also skew the covariances, so
+        only the re-ordering is applied, as the reference does), edge-axis
+        ticks are formatted through
+        denormalize_and_reverse_transform_one_variable, and the true
+        optimum (when given) is starred on the diagonals."""
+        import matplotlib.pyplot as plt
+        from matplotlib.ticker import FuncFormatter
+
+        d = self.input_dim
+        s = np.asarray(taken_samples)
+        orig = np.zeros_like(s)
+        for par_index, raw_index in enumerate(self.diag_order):
+            orig[:, par_index] = s[:, raw_index]
+        fig, axes = plt.subplots(d, d, figsize=(2.2 * d, 2.2 * d),
+                                 tight_layout=True)
+        axes = np.atleast_2d(axes)
+        for i in range(d):
+            for j in range(d):
+                ax = axes[i][j]
+                if i == j:
+                    ax.hist(orig[:, i], 30, density=True)
+                else:
+                    ax.scatter(orig[:, j], orig[:, i], s=4, alpha=0.5)
+        for i in range(d):
+            fmt_x = FuncFormatter(
+                lambda x, _, index=i: "{:.3g}".format(
+                    self.denormalize_and_reverse_transform_one_variable(
+                        x, index)))
+            axes[d - 1][i].xaxis.set_major_formatter(fmt_x)
+            fmt_y = FuncFormatter(
+                lambda x, _, index=i: "{:.3g}".format(
+                    self.denormalize_and_reverse_transform_one_variable(
+                        x, index)))
+            axes[i][0].yaxis.set_major_formatter(fmt_y)
+            plt.setp(axes[i][0].get_yticklabels(), rotation=45,
+                     ha="right", rotation_mode="anchor")
+            plt.setp(axes[d - 1][i].get_xticklabels(), rotation=45,
+                     ha="right", rotation_mode="anchor")
+        if self.normalized_true_optimum is not None:
+            for i in range(len(self.true_optimum)):
+                axes[i][i].scatter(
+                    float(self.normalized_true_optimum[i]), 0.0,
+                    s=100, marker="*", color="tab:orange")
+        plt.show()
+        return fig
 
     def visualize_results(self):
         """(SOBER/_sober_wrapper.py:654-674)"""
@@ -518,6 +621,14 @@ class SoberWrapper:
         best_norm = self.X_all[int(jnp.argmax(y_all))]
         best_observed = self.reverse_transform(self.denormalize_input(
             jnp.atleast_2d(best_norm)))[0]
+
+        # posterior-diagnostics surface (SOBER/_sober_wrapper.py:946-1015):
+        # MAP-vs-best table + posterior pairplot with axis back-transforms
+        if verbose:
+            self.map_vs_best_table(basq, map_normalized, map_params,
+                                   best_norm, best_observed)
+        if visualizations or self.visualizations:
+            self.visualize_posterior(taken_samples)
 
         samples_out = (taken_samples if return_raw_samples else
                        self.reverse_transform(
