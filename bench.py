@@ -8,10 +8,21 @@ Prints one JSON line per metric (headline first):
   2. full_bo_iteration_200k_batch100 — the reference's largest continuous
      config (n_rec=200,000: /root/reference/examples/shekel.py:69,
      ising.py:69).
-  3. dataset_iteration_133k_2048 — solvent-scale dataset-as-domain
+  3. full_bo_iteration_200k_ising_d24 — the reference's hardest published
+     large-pool config: Ising sparsification, 24 binary dims, 200k-point
+     discrete pool (/root/reference/examples/ising.py:69), one full
+     iteration through Sober.next_batch (prior sampling + pi + learned
+     proposal + KMeans Nystrom + recombination).
+  4. dataset_iteration_133k_2048 — solvent-scale dataset-as-domain
      iteration (133,303 x 2048-bit fingerprints, tutorial 06): Tanimoto GP
      fit + pi over the whole pool + adaptive pruning + recombination via
      Sober.next_batch.
+  5. fbgp_hyper_sweep_1000 — the fully-Bayesian hyper pipeline at the
+     tutorial-04 config (1000 hypersamples -> RCHQ-distilled to 50 chains,
+     n_nys=100): LML sweep as ONE vmapped batched Cholesky + quadrature
+     distillation + chain-cache build. The reference runs the sweep as a
+     1001-iteration Python loop per refit
+     (/root/reference/SOBER/FBGP/_fully_Bayesian_gp.py:179-245).
 
 vs_baseline for all three compares against the reference's best recorded
 full-iteration wall-clock, 4.898 s (tutorials/00 Quick start.ipynb stored
@@ -30,8 +41,10 @@ import jax.numpy as jnp
 BASELINE_S = 4.898  # s, reference quick-start best iteration (BASELINE.md)
 
 
-def _median_time(fn, n=5):
+def _median_time(fn, n=9):
     fn()  # warmup / compile
+    fn()  # second warmup: the axon tunnel reloads executables on the first
+    #       dispatch after another large program ran (CLAUDE.md artifacts)
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
@@ -114,10 +127,67 @@ def bench_dataset(n_total=133303, n_bits=2048, n_obs=512, n_rec=2000,
     _emit(f"dataset_iteration_{n_total // 1000}k_{n_bits}", value)
 
 
+def bench_ising(n_rec=200000, n_nys=500, batch=100, n_obs=500):
+    """One full iteration of the reference's hardest published large-pool
+    config (Ising, 24 binary edge masks, n_rec=200,000:
+    /root/reference/examples/ising.py:69): bucket-padded GP refit + full
+    Sober.next_batch (binary prior sampling + pi weighting + learned
+    proposal + KMeans Nystrom selection + kernel recombination)."""
+    from sober_tpu import Sober
+    from sober_tpu.gp.exact import fit_gp_padded
+    from sober_tpu.tasks import setup_ising
+    from sober_tpu.utils.prng import KeyRing
+
+    keys = KeyRing(0)
+    prior, fn = setup_ising()
+    x_all = prior.sample(keys.next(), n_obs)
+    y_all = fn(x_all)
+    model = fit_gp_padded(x_all, y_all)
+    sober = Sober(prior, model, seed=0)
+
+    def iteration():
+        m = fit_gp_padded(x_all, y_all)
+        sober.update_model(m)
+        xb = sober.next_batch(n_rec, n_nys, batch)
+        jax.block_until_ready(xb)
+
+    value = _median_time(iteration)
+    _emit("full_bo_iteration_200k_ising_d24", value)
+
+
+def bench_fbgp(n_obs=100, d=3, n_hypers=1000, n_nys=100, n_qd=50):
+    """The fully-Bayesian hyper pipeline at the tutorial-04 config
+    (BASELINE.md: 1000 hypersamples -> distilled to 10-50, n_nys=100):
+    sampling_hypers (ONE vmapped 1001-theta batched Cholesky vs the
+    reference's Python loop, _fully_Bayesian_gp.py:179-203) + RCHQ
+    quadrature distillation + the per-chain Cholesky cache build."""
+    from sober_tpu.gp.fbgp import (FitboGP, RBFHyperPrior, sampling_hypers,
+                                   quadrature_distillation, FullyBayesianGP)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (n_obs, d)), jnp.float32)
+    ll = -0.5 * jnp.sum((x / 0.6) ** 2, axis=1)
+    model = FitboGP(x, jnp.exp(ll))
+    hp = RBFHyperPrior()
+    key = jax.random.key(0)
+
+    def pipeline():
+        hypers, lmls = sampling_hypers(model, hp, n_hypers=n_hypers, key=key)
+        w_qd, theta_qd = quadrature_distillation(hypers, lmls, n_nys=n_nys,
+                                                 n_qd=n_qd)
+        fbgp = FullyBayesianGP(model, w_qd, theta_qd)
+        jax.block_until_ready(fbgp._cache.alpha)
+
+    value = _median_time(pipeline)
+    _emit("fbgp_hyper_sweep_1000", value)
+
+
 def main():
     bench_fused(65536, 512, 200, 10, "full_bo_iteration_65k_batch200")
     bench_fused(200000, 500, 100, 4, "full_bo_iteration_200k_batch100")
+    bench_ising()
     bench_dataset()
+    bench_fbgp()
 
 
 if __name__ == "__main__":

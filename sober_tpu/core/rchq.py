@@ -51,6 +51,57 @@ class RecombinationResult(NamedTuple):
                         # (entries may be 0 when fewer support points needed)
 
 
+def _use_pallas_car() -> bool:
+    """Route the elimination loop to the pallas kernel on TPU backends.
+
+    Static at trace time. The CPU backend (tests, virtual mesh) keeps the
+    XLA fori_loop — Mosaic kernels don't lower to XLA:CPU, and shard_map
+    tracing on the CPU mesh must stay kernel-free. Opt out on TPU with
+    SOBER_TPU_PALLAS_CAR=0."""
+    import os
+
+    if os.environ.get("SOBER_TPU_PALLAS_CAR", "1") == "0":
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def nystrom_basis(k_nys: jax.Array, n_test: int) -> jax.Array:
+    """Top-n_test spectral test functions of the PSD Nystrom Gram.
+
+    Small Grams get the exact eigh. Large ones (the bench shapes: n_nys
+    512/500 with n_test ~ 100-200) use randomized subspace iteration with
+    Rayleigh-Ritz (Halko-Martinsson-Tropp): eigh(512) costs ~10 ms on the
+    v5e while four QR(512, n_test+32) passes + a small Rayleigh-Ritz eigh
+    cost ~4 ms. Three power passes capture >= 99% of the exact top-n_test
+    Rayleigh energy even on slowly-decaying posterior-covariance spectra
+    (measured on the 65k/200 bench Gram: 0.957/0.981/0.990 for 1/2/3
+    passes); the residual sub-1% sits in near-degenerate tail directions
+    whose eigenvalue mass is what bounds the quadrature error, so swapping
+    them for their captured neighbours changes the worst-case integration
+    error by O(1%). Moment matching on the span actually used is exact by
+    construction either way. Exact path can be forced with
+    SOBER_TPU_EXACT_EIGH=1."""
+    import os
+
+    n_nys = k_nys.shape[0]
+    if (n_nys < 384 or n_test >= n_nys - 40
+            or os.environ.get("SOBER_TPU_EXACT_EIGH", "0") == "1"):
+        _, eigvecs = jnp.linalg.eigh(k_nys)                # ascending
+        return eigvecs[:, -n_test:].T
+    n_sub = min(n_test + 32, n_nys)
+    omega = jax.random.normal(jax.random.key(17), (n_nys, n_sub),
+                              k_nys.dtype)
+    q, _ = jnp.linalg.qr(k_nys @ omega)
+    for _ in range(3):
+        q, _ = jnp.linalg.qr(k_nys @ q)
+    b = symmetrize(q.T @ (k_nys @ q))
+    _, v = jnp.linalg.eigh(b)                              # ascending
+    return (q @ v[:, -n_test:]).T
+
+
 # ----------------------------------------------------------------------------
 # Caratheodory elimination
 # ----------------------------------------------------------------------------
@@ -151,6 +202,15 @@ def _caratheodory(x: jax.Array, mu: jax.Array, n_elim: int,
             [rotated[:, 1:], jnp.zeros((m, 1), nmat.dtype)], axis=1)
         return mu, nmat, elim
 
+    if _use_pallas_car():
+        # one pallas kernel for the whole loop: the basis/weights stay
+        # VMEM-resident, removing ~6 us/iteration of XLA dispatch overhead
+        # (ops/pallas_car.py; semantics identical to the loop below)
+        from ..ops.pallas_car import car_eliminate_pallas
+
+        mu, elim = car_eliminate_pallas(mu, big_n, row_mask, n_take)
+        return mu * (1.0 - elim) * active0
+
     # derive from mu (not a fresh constant) so the carry keeps mu's varying
     # manual axes when this runs inside a shard_map block
     elim0 = mu * 0.0
@@ -207,7 +267,10 @@ def _reduce_tree(phi_ext: jax.Array, obj_ext: Optional[jax.Array],
     obj_ext: optional (n_pool+1,) objective row (already negated), dummy 0.
     mu_ext:  (n_pool+1,) weights, dummy 0.
 
-    Returns mu_ext with support on <= n_test+1 real points.
+    Returns (idx (n_test+1,), w (n_test+1,)): the surviving pool indices
+    with their normalized weights, descending, zero-weight slots last
+    (remapped to index 0). Returning the survivors directly avoids a
+    pool-sized scatter + top_k per call.
     """
     use_obj = obj_ext is not None
     n_keep = n_test + 1                    # columns kept per round
@@ -280,13 +343,20 @@ def _reduce_tree(phi_ext: jax.Array, obj_ext: Optional[jax.Array],
     bary_obj = obj_ext[slots] if use_obj else None
     mu_out = run_car(f, bary_obj, mask, w_slots)
 
+    # return the survivors directly: every pool index occupies at most one
+    # slot (initial slots are distinct, later rounds keep subsets), so the
+    # scatter-back + pool-wide top_k the callers used to do is redundant —
+    # only dummy slots repeat, and they carry zero weight by construction
     w_kept, kept = jax.lax.top_k(mu_out, n_keep)
-    mu_final = jnp.zeros_like(mu_ext).at[slots[kept]].add(w_kept)
-    mu_final = mu_final.at[dummy].set(0.0)
-    total = jnp.sum(mu_final)
-    mu_final = jnp.where(total > 0,
-                         mu_final / jnp.where(total > 0, total, 1.0), mu_final)
-    return mu_final
+    idx_kept = slots[kept]
+    w_kept = jnp.where(idx_kept == dummy, 0.0, w_kept)
+    total = jnp.sum(w_kept)
+    w_kept = jnp.where(total > 0,
+                       w_kept / jnp.where(total > 0, total, 1.0), w_kept)
+    # dummy survivors (possible only when fewer than n_keep support points
+    # are needed) are remapped to index 0 with weight 0
+    idx_kept = jnp.where(idx_kept == dummy, 0, idx_kept).astype(jnp.int32)
+    return idx_kept, w_kept
 
 
 def local_reduce(phi: jax.Array, mu: jax.Array, num_pts: int,
@@ -318,9 +388,8 @@ def local_reduce(phi: jax.Array, mu: jax.Array, num_pts: int,
     mu_ext = jnp.concatenate([mu_n, jnp.zeros((1,), mu.dtype)])
     obj_ext = (None if obj is None
                else jnp.concatenate([obj, jnp.zeros((1,), obj.dtype)]))
-    mu_fin = _reduce_tree(phi_ext, obj_ext, mu_ext, n_rows, blk)
-    w, idx = jax.lax.top_k(mu_fin[:blk], num_pts)
-    return RecombinationResult(idx.astype(jnp.int32), w * mass)
+    idx, w = _reduce_tree(phi_ext, obj_ext, mu_ext, n_rows, blk)
+    return RecombinationResult(idx, w * mass)
 
 
 # ----------------------------------------------------------------------------
@@ -421,8 +490,7 @@ def _recombination_impl(pts_rec: jax.Array, pts_nys: jax.Array, num_pts: int,
     # shifts eigenvalues and leaves the eigenvectors (= the basis) unchanged,
     # so the jitter search is skipped — symmetrize + NaN-scrub suffices.
     k_nys = symmetrize(jnp.nan_to_num(kernel(pts_nys, pts_nys)))
-    _, eigvecs = jnp.linalg.eigh(k_nys)                    # ascending
-    u = eigvecs[:, -n_test:].T                             # (n_test, n_nys)
+    u = nystrom_basis(k_nys, n_test)                       # (n_test, n_nys)
 
     # the one big MXU matmul: test functions over the whole pool
     phi = u @ kernel(pts_nys, pts_rec)                     # (n_test, N)
@@ -457,7 +525,5 @@ def _recombination_impl(pts_rec: jax.Array, pts_nys: jax.Array, num_pts: int,
     else:
         obj_ext = None
 
-    mu_final = _reduce_tree(phi_ext, obj_ext, mu_ext, n_rows, n_pool)
-
-    w_star, idx_star = jax.lax.top_k(mu_final[:n_pool], num_pts)
-    return RecombinationResult(idx_star.astype(jnp.int32), w_star)
+    idx_star, w_star = _reduce_tree(phi_ext, obj_ext, mu_ext, n_rows, n_pool)
+    return RecombinationResult(idx_star, w_star)

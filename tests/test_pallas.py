@@ -42,3 +42,90 @@ def test_rbf_pallas_matches_xla():
     want = rbf_gram(p, x, y)
     got = rbf_gram_pallas(p, x, y, tile_m=64, tile_n=64)
     assert np.allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+# ----------------------------------------------------------------------------
+# Caratheodory elimination kernel (ops/pallas_car.py)
+# ----------------------------------------------------------------------------
+
+def _car_null_basis(x, mu, row_mask, n_elim):
+    """The two-stage null-basis construction of core/rchq.py:_caratheodory,
+    reproduced so the kernel can be exercised in isolation."""
+    m, p = x.shape
+    active0 = jnp.logical_and(mu > 0, row_mask > 0).astype(x.dtype)
+    xm = x * active0[:, None]
+    q_full, _ = jnp.linalg.qr(xm, mode="complete")
+    n0 = q_full[:, p:]
+    inact = 1.0 - active0
+    d_gram = (n0 * inact[:, None]).T @ n0
+    lam, c_vecs = jnp.linalg.eigh(0.5 * (d_gram + d_gram.T))
+    n_take = min(n_elim, m - p)
+    big_n = n0 @ c_vecs[:, :n_take]
+    big_n = big_n * (lam[:n_take] <= 1e-6)[None, :].astype(big_n.dtype)
+    return big_n, n_take, active0
+
+
+def test_car_pallas_kernel_invariants():
+    """Kernel-level check (interpret mode): the elimination preserves the
+    constraint moments x_active^T mu and zeroes out >= n_elim weights."""
+    from sober_tpu.ops.pallas_car import car_eliminate_pallas
+
+    rng = np.random.default_rng(7)
+    m, p = 64, 17
+    x = jnp.asarray(rng.normal(size=(m, p)), jnp.float32)
+    mu = rng.uniform(0.1, 1.0, m).astype(np.float32)
+    mask = np.ones(m, np.float32)
+    mask[-5:] = 0.0          # padding rows
+    mu[-5:] = 0.0
+    mu = jnp.asarray(mu / mu.sum())
+    mask = jnp.asarray(mask)
+
+    big_n, n_take, active0 = _car_null_basis(x, mu, mask, m - p)
+    mu2, elim = car_eliminate_pallas(mu, big_n, mask, n_take, interpret=True)
+    mu2 = mu2 * (1.0 - elim) * active0
+
+    mu2_np, mu_np = np.asarray(mu2), np.asarray(mu)
+    assert (mu2_np >= 0).all()
+    assert (mu2_np[-5:] == 0).all()                       # padding stays empty
+    # directions with support on inactive rows are zeroed by the eigh
+    # split and skipped; only the surviving columns eliminate
+    n_usable = int(np.sum(np.abs(np.asarray(big_n)).max(axis=0) > 0))
+    assert (mu2_np == 0).sum() >= (mu_np == 0).sum() + n_usable - 2
+    want = np.asarray(x).T @ mu_np
+    got = np.asarray(x).T @ mu2_np
+    assert np.abs(got - want).max() < 1e-4
+
+
+def test_car_pallas_end_to_end_matches_xla_loop(monkeypatch):
+    """Route recombination's elimination through the pallas kernel (interpret
+    mode, CPU) and compare against the XLA fori_loop path: same selected
+    support, same weights, same moment error."""
+    from sober_tpu.core import rchq
+    from sober_tpu.ops import pallas_car
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.uniform(-1, 1, (1000, 3)), jnp.float32)
+    from sober_tpu.ops import make_kernel
+    k = make_kernel("rbf", lengthscale=0.5, outputscale=1.0)
+    kern = lambda a, b: k.gram(a, b)
+
+    idx_ref, w_ref = rchq.recombination(x, x[:64], 16, kern)
+
+    orig = pallas_car.car_eliminate_pallas
+    monkeypatch.setattr(rchq, "_use_pallas_car", lambda: True)
+    monkeypatch.setattr(
+        pallas_car, "car_eliminate_pallas",
+        lambda mu, n, m, t: orig(mu, n, m, t, interpret=True))
+    jax.clear_caches()   # the backend gate is evaluated at trace time
+    try:
+        idx_p, w_p = rchq.recombination(x, x[:64], 16, kern)
+    finally:
+        jax.clear_caches()  # drop the pallas-routed executables again
+
+    ref = {(int(i), round(float(w), 5))
+           for i, w in zip(np.asarray(idx_ref), np.asarray(w_ref))
+           if w > 0}
+    got = {(int(i), round(float(w), 5))
+           for i, w in zip(np.asarray(idx_p), np.asarray(w_p))
+           if w > 0}
+    assert got == ref

@@ -127,3 +127,59 @@ class TestRecombination:
         f = jax.jit(lambda p, ny: recombination(p, ny, 8, kern))
         idx, w = f(x, x[:32])
         assert idx.shape == (8,)
+
+
+class TestNystromBasis:
+    def test_exact_path_small_gram(self):
+        """Grams below the randomized-path threshold return the exact top
+        eigenvectors (up to sign)."""
+        from sober_tpu.core.rchq import nystrom_basis
+
+        x = _pool(128, d=3, seed=8)
+        kern = _kernel_fn()
+        k = jnp.asarray(kern(x, x))
+        u = np.asarray(nystrom_basis(k, 16))               # (16, 128)
+        _, vecs = np.linalg.eigh(np.asarray(k))
+        want = vecs[:, -16:].T
+        align = np.abs(np.sum(u * want, axis=1))           # |<u_i, v_i>|
+        assert align.min() > 1 - 1e-4
+
+    def test_randomized_path_energy_and_orthonormality(self):
+        """Large Grams use randomized subspace iteration; the captured
+        Rayleigh energy must be within 2% of the exact top-n_test energy and
+        the returned test functions orthonormal."""
+        from sober_tpu.core.rchq import nystrom_basis
+
+        x = _pool(512, d=6, seed=9)
+        kern = _kernel_fn()
+        k = jnp.asarray(kern(x, x))
+        n_test = 100
+        u = nystrom_basis(k, n_test)                       # randomized path
+        assert u.shape == (n_test, 512)
+        gram_u = np.asarray(u @ u.T)
+        assert np.abs(gram_u - np.eye(n_test)).max() < 1e-4
+        got_energy = float(np.trace(np.asarray(u @ k @ u.T)))
+        eigs = np.linalg.eigvalsh(np.asarray(k))
+        want_energy = float(eigs[-n_test:].sum())
+        assert got_energy > 0.98 * want_energy
+
+    def test_recombination_moment_matching_on_randomized_basis(self):
+        """End to end through the randomized path (n_nys >= 384): moment
+        matching on the span actually used stays machine-exact."""
+        from sober_tpu.core.rchq import nystrom_basis
+        from sober_tpu.utils.linalg import symmetrize
+
+        n, s = 4000, 32
+        x = _pool(n, d=4, seed=10)
+        kern = _kernel_fn()
+        x_nys = x[:512]
+        idx, w = recombination(x, x_nys, s, kern)
+        assert np.isclose(np.asarray(w).sum(), 1.0, atol=1e-4)
+
+        k_nys = symmetrize(jnp.nan_to_num(kern(x_nys, x_nys)))
+        u = nystrom_basis(k_nys, s - 1)                    # deterministic key
+        phi = np.asarray(u @ kern(x_nys, x))
+        phi = phi / max(np.abs(phi).max(), 1e-30)
+        want = phi @ np.full(n, 1.0 / n)
+        got = phi[:, np.asarray(idx)] @ np.asarray(w)
+        assert np.abs(got - want).max() < 5e-3
