@@ -17,7 +17,7 @@ from sober_tpu.utils.prng import KeyRing
 
 def run_bo_loop(prior, fn, n_init=100, batch_size=200, n_rec=20000,
                 n_nys=500, n_iterations=15, seed=0, gp_kwargs=None,
-                verbose=True):
+                verbose=True, polish=False):
     keys = KeyRing(seed)
     gp_kwargs = gp_kwargs or {}
     x_all = prior.sample(keys.next(), n_init)
@@ -32,7 +32,7 @@ def run_bo_loop(prior, fn, n_init=100, batch_size=200, n_rec=20000,
         start = time.monotonic()
         model = fit_gp_padded(x_all, y_all, **gp_kwargs)
         sober.update_model(model)
-        x_batch = sober.next_batch(n_rec, n_nys, batch_size)
+        x_batch = sober.next_batch(n_rec, n_nys, batch_size, polish=polish)
         interval = time.monotonic() - start
 
         y_batch = fn(x_batch)

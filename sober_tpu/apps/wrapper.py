@@ -517,8 +517,12 @@ class SoberWrapper:
                   surrogate_effective_samples: Optional[int] = None,
                   acquisition_function=None,
                   visualizations: bool = False, verbose: bool = True,
-                  **kwargs):
-        """The basic SOBER loop (SOBER/_sober_wrapper.py:694-821)."""
+                  polish: bool = False, **kwargs):
+        """The basic SOBER loop (SOBER/_sober_wrapper.py:694-821).
+
+        polish: forward the posterior-mean exploit polish to
+        Sober.next_batch (tail refinement for pure-BO runs on continuous
+        domains; no reference analogue, see core/sober.py)."""
         surrogate_effective_samples = (
             surrogate_effective_samples or 2 * model_samples_per_iteration)
         if model_samples_per_iteration >= surrogate_effective_samples:
@@ -539,7 +543,8 @@ class SoberWrapper:
             x_batch = self.sober.next_batch(
                 surrogate_samples, surrogate_effective_samples,
                 model_samples_per_iteration,
-                calc_obj=acquisition_function, verbose=verbose)
+                calc_obj=acquisition_function, verbose=verbose,
+                polish=polish)
             self.surrogate_effective_samples = surrogate_effective_samples
             t1 = time.monotonic()
 

@@ -151,12 +151,23 @@ class Sober(EmpiricalSampler):
 
     def next_batch(self, n_rec: int, n_nys: int, batch_size: int,
                    calc_obj=None, return_weights: bool = False,
-                   recycle_prior: bool = True, verbose: bool = False):
+                   recycle_prior: bool = True, verbose: bool = False,
+                   polish: bool = False):
         """Sample the next batch via kernel recombination
         (SOBER/_sober.py:125-195).
 
         Returns X_batch (batch_size, d); with return_weights=True returns
         (w, X_batch); for dataset domains returns (global_indices, X_batch).
+
+        polish: exploit polish (no reference analogue) — replace the
+        lowest-weight batch point with a projected-Adam ascent of the
+        posterior mean, multi-started from the incumbent and the heaviest
+        batch points (gp.exact.polish_posterior_mean). Active only for
+        pure-BO selection on bounded continuous domains with an exact-GP
+        model: quadrature batches (BQ/FBGP models, return_weights) must
+        stay recombination-exact, gradients are meaningless on
+        discrete/dataset pools, and calc_obj-augmented selection already
+        spends its degree of freedom on the acquisition push.
         """
         t0 = time.monotonic()
         idx_sampled = None
@@ -183,6 +194,12 @@ class Sober(EmpiricalSampler):
         idx_rchq, w_rchq = self.sampling_recombination(
             x_cand, x_nys, weights, batch_size, calc_obj=calc_obj)
         x_batch = x_cand[idx_rchq]
+        if (polish and calc_obj is None and not return_weights
+                and self.label == "continuous"
+                and not (self.fbgp or self.is_bq)
+                and isinstance(self.pi.model, GPState)
+                and getattr(self.prior, "bounds", None) is not None):
+            x_batch = self._exploit_polish(x_batch)
         t2 = time.monotonic()
         self.last_timings = {
             "candidates": t1 - t0,
@@ -198,3 +215,20 @@ class Sober(EmpiricalSampler):
             idx_global = idx_sampled[idx_rchq]
             return idx_global, x_batch
         return x_batch
+
+    def _exploit_polish(self, x_batch: jax.Array) -> jax.Array:
+        """Replace the lowest-weight batch point with the best of 8
+        posterior-mean ascents (started at the incumbent + the 7 heaviest
+        batch points, which recombination returns first)."""
+        from ..gp.exact import polish_posterior_mean
+
+        state: GPState = self.pi.model
+        y = state.y
+        if state.mask is not None:
+            y = jnp.where(state.mask > 0, y, -jnp.inf)
+        incumbent = state.x[jnp.argmax(y)]
+        n_head = min(7, x_batch.shape[0] - 1)
+        starts = jnp.concatenate([incumbent[None, :], x_batch[:n_head]])
+        lo, hi = self.prior.bounds[0], self.prior.bounds[1]
+        x_pol, mu_pol = polish_posterior_mean(state, starts, lo, hi)
+        return x_batch.at[-1].set(x_pol[jnp.argmax(mu_pol)])

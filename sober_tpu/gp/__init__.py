@@ -14,6 +14,7 @@ from .exact import (
     predict_mean,
     predictive_covariance,
     posterior_max_mean,
+    polish_posterior_mean,
     mean_value,
     raw_params_from_state,
 )
@@ -40,7 +41,7 @@ from .multitask import (
 __all__ = [
     "GPConfig", "GPParams", "GPState", "init_params", "neg_mll",
     "fit_params", "build_state", "fit_gp", "fit_gp_padded", "pad_observations", "predict", "predict_raw",
-    "predict_mean", "predictive_covariance", "posterior_max_mean",
+    "predict_mean", "predictive_covariance", "posterior_max_mean", "polish_posterior_mean",
     "mean_value",
     "raw_params_from_state",
     "ScaleMmltGP", "PIBQ",

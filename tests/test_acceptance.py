@@ -59,7 +59,7 @@ def test_quickstart_multiseed_acceptance():
 
 def _run_hartmann(seed: int, n_init: int = 50, batches: int = 8,
                   batch: int = 50, n_rec: int = 16384, n_nys: int = 256,
-                  target: float = 3.1) -> float:
+                  target: float = 3.2) -> float:
     from sober_tpu.tasks.synthetic import setup_hartmann
 
     prior, objective = setup_hartmann(seed=seed)
@@ -70,7 +70,7 @@ def _run_hartmann(seed: int, n_init: int = 50, batches: int = 8,
     best = float(y.max())
     for _ in range(batches):
         sober.update_model(fit_gp_padded(x, y))
-        xb = sober.next_batch(n_rec, n_nys, batch)
+        xb = sober.next_batch(n_rec, n_nys, batch, polish=True)
         yb = objective(xb)
         x = jnp.concatenate([x, xb])
         y = jnp.concatenate([y, yb])
@@ -83,14 +83,21 @@ def _run_hartmann(seed: int, n_init: int = 50, batches: int = 8,
 @pytest.mark.slow
 def test_hartmann6_multiseed_acceptance():
     """Hartmann-6 (tutorial 03/04 task, optimum 3.32237): from 50 init
-    points, batches of 50 at n_rec=16384, >= 2/3 seeds must reach >= 3.1
-    (the global-optimum basin) within 8 batches (450 evaluations).
-    fp accumulation differences move the trajectories between platforms:
-    measured CPU mesh 3/3 seeds >= 3.2; TPU 3/3 seeds in [3.157, 3.188].
-    The target sits below both so the test pins basin-finding, not
-    platform-dependent tail refinement."""
+    points, batches of 50 at n_rec=16384 with the exploit polish on,
+    >= 2/3 seeds must reach >= 3.2 within 8 batches (450 evaluations).
+
+    Context for the bar: the reference's own stored Hartmann-6 runs
+    plateau well below the optimum — tutorial 03 records 3.145/3.154/3.210
+    at 150 evals across its three acquisition variants, tutorial 04 (FBGP)
+    2.907 at 600 evals. Plain recombination batches here match that
+    behavior (TPU seeds 3.157-3.188, CPU >= 3.2 at 450 evals): batch
+    selection resolves the optimum only to candidate-pool resolution. The
+    posterior-mean exploit polish (next_batch(polish=True)) closes the
+    platform-dependent tail gap: measured on TPU 3/3 seeds at
+    3.297/3.310/3.317 over the full 8 batches (>= 3.25 by batch 3); the
+    CPU mesh clears the 3.2 bar within 3 batches on 3/3 seeds."""
     bests = [_run_hartmann(seed) for seed in range(3)]
-    hits = sum(b >= 3.1 for b in bests)
+    hits = sum(b >= 3.2 for b in bests)
     assert hits >= 2, (
-        f"hartmann acceptance: only {hits}/3 seeds reached >=3.1 within 8 "
+        f"hartmann acceptance: only {hits}/3 seeds reached >=3.2 within 8 "
         f"batches (bests: {bests}); optimum 3.32237")

@@ -207,3 +207,57 @@ class TestWarmStart:
 
         assert mll_of(warm) <= mll_of(cold) + 0.05, \
             (mll_of(warm), mll_of(cold))
+
+
+class TestPolish:
+    def test_polish_posterior_mean_improves_and_respects_bounds(self):
+        from sober_tpu.gp.exact import (GPConfig, fit_gp,
+                                        polish_posterior_mean, predict)
+
+        rng = np.random.default_rng(5)
+        # smooth unimodal surface with interior optimum at (0.2, -0.4)
+        f = lambda a: -((a[:, 0] - 0.2) ** 2 + (a[:, 1] + 0.4) ** 2)  # noqa
+        x = jnp.asarray(rng.uniform(-1, 1, (120, 2)), jnp.float32)
+        y = f(x) + 0.01 * jnp.asarray(rng.normal(size=120), jnp.float32)
+        state = fit_gp(x, y, GPConfig(fit_iters=80))
+
+        lo = jnp.array([-1.0, -1.0])
+        hi = jnp.array([1.0, 1.0])
+        starts = jnp.asarray(rng.uniform(-1, 1, (8, 2)), jnp.float32)
+        x_pol, mu_pol = polish_posterior_mean(state, starts, lo, hi)
+
+        assert (np.asarray(x_pol) >= -1 - 1e-6).all()
+        assert (np.asarray(x_pol) <= 1 + 1e-6).all()
+        mu0, _ = predict(state, starts, include_noise=False)
+        assert float(mu_pol.max()) >= float(mu0.max())
+        best = np.asarray(x_pol)[int(np.argmax(np.asarray(mu_pol)))]
+        assert np.linalg.norm(best - np.array([0.2, -0.4])) < 0.1
+
+    def test_next_batch_polish_gating(self):
+        """polish=True refines the last batch point on continuous domains
+        and is a no-op for quadrature/weighted calls."""
+        from sober_tpu import Sober
+        from sober_tpu.gp.exact import fit_gp_padded, predict
+        from sober_tpu.priors import Uniform
+        from sober_tpu.utils.prng import KeyRing
+
+        rng = np.random.default_rng(6)
+        prior = Uniform(jnp.array([[-1.0, -1.0], [1.0, 1.0]]))
+        keys = KeyRing(0)
+        x = prior.sample(keys.next(), 60)
+        f = lambda a: -((a[:, 0] - 0.2) ** 2 + (a[:, 1] + 0.4) ** 2)  # noqa
+        y = f(x)
+        model = fit_gp_padded(x, y)
+        sober = Sober(prior, model, seed=0)
+        xb = sober.next_batch(2048, 64, 8, polish=True)
+        assert xb.shape == (8, 2)
+        # the polished point is the model's best guess: its posterior mean
+        # must be at least the batch maximum
+        mu, _ = predict(model, xb, include_noise=False)
+        assert float(mu[-1]) >= float(mu[:-1].max()) - 1e-5
+
+        # return_weights path must stay recombination-exact (no polish)
+        sober2 = Sober(prior, model, seed=0)
+        w, xb2 = sober2.next_batch(2048, 64, 8, return_weights=True,
+                                   polish=True)
+        assert w.shape == (8,)
