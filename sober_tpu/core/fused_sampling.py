@@ -1,0 +1,292 @@
+"""Fused candidate-generation pipeline: ONE XLA program per iteration.
+
+The host pipeline (EmpiricalSampler.sampling_candidates,
+SOBER/_sampler.py:263-323) crosses the host/device boundary at every stage —
+draw, weight check, proposal update, redraw, Nystrom selection — which
+through a remote-dispatch link costs a ~27 ms round-trip per blocking
+fetch (6+ per iteration at the Ising bench scale). This module traces the
+whole pipeline, data-dependent control flow included (`lax.cond` for the
+weight-health branch, `lax.while_loop` for the accumulate-until-enough
+refill), into one program per domain family:
+
+  * fused_candidates_binary       — Bernoulli proposal (MLE update)
+  * fused_candidates_cont_uniform — Sobol/uniform box proposal -> WKDE
+  * fused_candidates_cont_wkde    — WKDE proposal -> WKDE refit
+
+Semantics mirror the host path exactly (same branch conditions, same
+refill-round bounds, same uniform-weight fallbacks), and the COMMON path
+(healthy first draw, refill satisfied by one redraw) consumes the KeyRing
+stream identically — 4 keys in the host's order (draw, update, redraw,
+Nystrom) fed to the same sampling primitives. Exact bit parity with the
+staged path is opportunistic, not guaranteed: XLA fuses the one-program
+pipeline differently from the staged programs, perturbing the pi weights
+at the ulp level, and whenever that noise crosses a stochastic
+resampler's decision boundary the component picks — and everything
+downstream — diverge (while remaining equal in distribution).
+tests/test_fused_sampling.py pins bit-identity at shapes/seeds where no
+boundary is crossed and distributional agreement elsewhere. Rare branches
+(degenerate
+first draw, multi-round refill) additionally derive extra draws by
+`fold_in` from the redraw key instead of consuming further host keys;
+the host path's key stream shifts in those branches, so the two paths
+decorrelate there too (but keep the same distribution and invariants).
+
+No reference analogue: the reference's pipeline is inherently host-bound
+(torch ops between Python branches, SOBER/_sampler.py:205-323).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..gp.exact import GPState
+from ..priors.wkde import _wkde_fit, _wkde_pdf, _wkde_sample
+from ..utils.sobol import sobol_sample
+from ..utils.weights import (
+    check_weights,
+    cleansing_weights,
+    deweighted_resampling,
+    weighted_resampling,
+)
+from ..ops.kmeans import kmeans
+from .pi import lfi
+from .prior_update import bernoulli_mle
+
+
+def _pi_weights(state: GPState, eta, x, pdf):
+    """w = cleanse(pi(x) / pdf(x)) — EmpiricalSampler.sampling's body."""
+    w = lfi(state, eta, x) / jnp.maximum(pdf, 1e-38)
+    return cleansing_weights(w)
+
+
+def _refill(key, draw_w, x0, w0, need, bound):
+    """Accumulate-until-enough refill (recursive_sampling,
+    core/sampler.py:208-234): rounds 1..bound-1 draw fresh pools and fill
+    zero-weight rows in place until more than `need` rows are accepted.
+    Returns (x, w, none_accepted); w is uniform when nothing was accepted,
+    cleansed otherwise."""
+
+    def cond(c):
+        i, x, w = c
+        return jnp.logical_and(i < bound, jnp.sum(w > 0) <= need)
+
+    def body(c):
+        i, x, w = c
+        x2, w2 = draw_w(jax.random.fold_in(key, i))
+        fill = jnp.logical_and(w == 0, w2 > 0)
+        return (i + 1, jnp.where(fill[:, None], x2, x),
+                jnp.where(fill, w2, w))
+
+    _, x, w = jax.lax.while_loop(cond, body, (jnp.int32(1), x0, w0))
+    none = jnp.sum(w > 0) == 0
+    n = w.shape[0]
+    w = jnp.where(none, jnp.full((n,), 1.0 / n, w.dtype),
+                  cleansing_weights(w))
+    return x, w, none
+
+
+@partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh"))
+def fused_candidates_binary(state: GPState, eta, probs, k_draw, k_update,
+                            k_refill, k_nys, *, n_rec: int, n_nys: int,
+                            thresh: int):
+    """Binary domain: Bernoulli proposal with closed-form MLE update.
+
+    Returns (x_cand, x_nys, weights, probs_out); probs_out equals the old
+    probs on the no-update path, so the host can rebuild the prior
+    unconditionally with zero device fetches.
+    """
+    d = probs.shape[0]
+
+    def draw_with(p):
+        def draw(k):
+            u = jax.random.uniform(k, (n_rec, d))
+            x = (u < p[None, :]).astype(jnp.float32)
+            pc = jnp.clip(p, 1e-12, 1 - 1e-12)
+            lp = (x * jnp.log(pc)[None, :]
+                  + (1 - x) * jnp.log1p(-pc)[None, :])
+            return x, _pi_weights(state, eta, x, jnp.exp(jnp.sum(lp, axis=1)))
+        return draw
+
+    x1, w1 = draw_with(probs)(k_draw)
+
+    # bind the update pool per branch (healthy: first draw; degenerate: the
+    # refilled pool) by routing through mutable-free closures: the healthy
+    # branch updates on (x1, w1); the degenerate branch's update runs inside
+    # _pipeline with (xa, wa) unavailable here, so the MLE is recomputed on
+    # whatever pool the branch passes — handled by re-deriving from x/w at
+    # the end instead would change semantics, so we keep two explicit paths:
+    def update_on(x, w):
+        return lambda k: bernoulli_mle(w, x)  # key burned (host parity)
+
+    ok1 = check_weights(w1, thresh)
+
+    def branch_healthy(_):
+        p_new = update_on(x1, w1)(k_update)
+        draw_new = draw_with(p_new)
+        x0, w0 = draw_new(k_refill)
+        x, w, _ = _refill(k_refill, draw_new, x0, w0, n_nys, n_nys)
+        return x, w, p_new, jnp.bool_(False)
+
+    def branch_degenerate(_):
+        draw_old = draw_with(probs)
+        x0, w0 = draw_old(jax.random.fold_in(k_refill, 0))
+        xa, wa, none_a = _refill(jax.random.fold_in(k_refill, 1 << 20),
+                                 draw_old, x0, w0, thresh, thresh)
+
+        def a_fail(_):
+            return xa, wa, probs, jnp.bool_(True)
+
+        def a_ok(_):
+            p_new = update_on(xa, wa)(k_update)
+            draw_new = draw_with(p_new)
+            x0b, w0b = draw_new(jax.random.fold_in(k_refill, 2 << 20))
+            x, w, _ = _refill(jax.random.fold_in(k_refill, 3 << 20),
+                              draw_new, x0b, w0b, n_nys, n_nys)
+            return x, w, p_new, jnp.bool_(False)
+
+        return jax.lax.cond(none_a, a_fail, a_ok, None)
+
+    x, w, p_out, take_head = jax.lax.cond(
+        ok1, branch_healthy, branch_degenerate, None)
+
+    idx = deweighted_resampling(k_nys, w, n_nys)
+    idx = jnp.where(take_head, jnp.arange(n_nys, dtype=idx.dtype), idx)
+    return x, x[idx], w, p_out
+
+
+def _cont_select_nys(k_nys, x, w, take_head, n_nys: int):
+    """Continuous Nystrom subset (core/sampler.py:236-242): weight-resample
+    up to 4096 rows, KMeans to n_nys centroids; head slice on the
+    total-degeneracy path."""
+    n_in = min(x.shape[0], 4096)
+    idx = weighted_resampling(k_nys, w, n_in)
+    _, cents = kmeans(x[idx], n_nys)
+    return jnp.where(take_head, x[:n_nys], cents)
+
+
+def _wkde_machinery(state, eta, bounds, n_rec: int, n_kde: int, n_dims: int):
+    def draw_with(params):
+        def draw(k):
+            x = _wkde_sample(k, params, bounds, n_rec, 10)
+            return x, _pi_weights(state, eta, x,
+                                  _wkde_pdf(params, bounds, x))
+        return draw
+
+    def update_on(x, w):
+        return lambda k: _wkde_fit(k, x, w, n_kde, "scott", n_dims)
+
+    return draw_with, update_on
+
+
+def _cont_branches(probe, draw_old, update_on, draw_with, k_update, k_refill,
+                   n_nys: int, thresh: int):
+    """Shared continuous branch structure. `probe` = (x1, w1)."""
+    x1, w1 = probe
+    ok1 = check_weights(w1, thresh)
+
+    def branch_healthy(_):
+        params = update_on(x1, w1)(k_update)
+        draw_new = draw_with(params)
+        x0, w0 = draw_new(k_refill)
+        x, w, _ = _refill(k_refill, draw_new, x0, w0, n_nys, n_nys)
+        return x, w, params, jnp.bool_(True), jnp.bool_(False)
+
+    def branch_degenerate(_):
+        x0, w0 = draw_old(jax.random.fold_in(k_refill, 0))
+        xa, wa, none_a = _refill(jax.random.fold_in(k_refill, 1 << 20),
+                                 draw_old, x0, w0, thresh, thresh)
+
+        def a_fail(_):
+            # prior kept; params computed only to keep output shapes
+            params = update_on(xa, wa)(jax.random.fold_in(k_update, 1))
+            return xa, wa, params, jnp.bool_(False), jnp.bool_(True)
+
+        def a_ok(_):
+            params = update_on(xa, wa)(jax.random.fold_in(k_update, 2))
+            draw_new = draw_with(params)
+            x0b, w0b = draw_new(jax.random.fold_in(k_refill, 2 << 20))
+            x, w, _ = _refill(jax.random.fold_in(k_refill, 3 << 20),
+                              draw_new, x0b, w0b, n_nys, n_nys)
+            return x, w, params, jnp.bool_(True), jnp.bool_(False)
+
+        return jax.lax.cond(none_a, a_fail, a_ok, None)
+
+    return jax.lax.cond(ok1, branch_healthy, branch_degenerate, None)
+
+
+@partial(jax.jit,
+         static_argnames=("n_rec", "n_nys", "thresh", "n_kde", "qmc"))
+def fused_candidates_cont_uniform(state: GPState, eta, bounds, sobol_state,
+                                  sobol_offset, k_draw, k_update, k_refill,
+                                  k_nys, *, n_rec: int, n_nys: int,
+                                  thresh: int, n_kde: int, qmc: bool):
+    """Continuous domain, Uniform (box) proposal -> WKDE update.
+
+    Returns (x_cand, x_nys, weights, wkde_params, did_update). The host
+    replaces the Uniform prior with the WKDE only when did_update — the
+    one scalar fetch of the fused path, paid once per run (the proposal is
+    a WKDE from the second iteration on).
+    """
+    d = bounds.shape[1]
+    lo, hi = bounds[0], bounds[1]
+    dens = jnp.prod(1.0 / (hi - lo))
+
+    def draw_uniform(k, offset):
+        if qmc:
+            u = sobol_sample(sobol_state, offset, n_rec)
+        else:
+            u = jax.random.uniform(k, (n_rec, d))
+        x = lo[None, :] + (hi - lo)[None, :] * u
+        inside = jnp.logical_and(
+            jnp.all(x > lo[None, :], axis=1),
+            jnp.all(x < hi[None, :], axis=1))
+        pdf = jnp.where(inside, dens, 0.0)
+        return x, _pi_weights(state, eta, x, pdf)
+
+    def draw_old(k):
+        # rare-branch (degenerate first draw) redraws fall back to
+        # pseudo-random uniform: the host path would advance the Sobol
+        # engine a data-dependent number of times, which the host cannot
+        # account for without a device fetch. Only the first draw (the
+        # common path's single Uniform use) is QMC.
+        u = jax.random.uniform(k, (n_rec, d))
+        x = lo[None, :] + (hi - lo)[None, :] * u
+        inside = jnp.logical_and(
+            jnp.all(x > lo[None, :], axis=1),
+            jnp.all(x < hi[None, :], axis=1))
+        pdf = jnp.where(inside, dens, 0.0)
+        return x, _pi_weights(state, eta, x, pdf)
+
+    x1, w1 = draw_uniform(k_draw, jnp.asarray(sobol_offset, jnp.uint32))
+    draw_with, update_on = _wkde_machinery(state, eta, bounds, n_rec,
+                                           n_kde, d)
+    x, w, params, did, take_head = _cont_branches(
+        (x1, w1), draw_old, update_on, draw_with, k_update, k_refill,
+        n_nys, thresh)
+    x_nys = _cont_select_nys(k_nys, x, w, take_head, n_nys)
+    return x, x_nys, w, params, did
+
+
+@partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde"))
+def fused_candidates_cont_wkde(state: GPState, eta, params_old, bounds,
+                               k_draw, k_update, k_refill, k_nys, *,
+                               n_rec: int, n_nys: int, thresh: int,
+                               n_kde: int):
+    """Continuous domain, WKDE proposal -> WKDE refit.
+
+    Returns (x_cand, x_nys, weights, params_out) with params_out already
+    selected between refit and old on device (zero host fetches)."""
+    d = params_old["x_obs"].shape[1]
+    draw_with, update_on = _wkde_machinery(state, eta, bounds, n_rec,
+                                           n_kde, d)
+    draw_old = draw_with(params_old)
+    x1, w1 = draw_old(k_draw)
+    x, w, params, did, take_head = _cont_branches(
+        (x1, w1), draw_old, update_on, draw_with, k_update, k_refill,
+        n_nys, thresh)
+    params_out = jax.tree.map(
+        lambda a, b: jnp.where(did, a, b), params, params_old)
+    x_nys = _cont_select_nys(k_nys, x, w, take_head, n_nys)
+    return x, x_nys, w, params_out

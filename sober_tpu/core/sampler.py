@@ -243,11 +243,89 @@ class EmpiricalSampler(RecombinationSampler):
         idx_nys = deweighted_resampling(self.keys.next(), weights, n_nys)
         return x_cand[idx_nys]
 
+    def _fused_candidates(self, n_rec: int, n_nys: int):
+        """One-program fast path for the full candidate pipeline
+        (core/fused_sampling.py): draw -> pi -> weight check -> proposal
+        update -> refill redraw -> Nystrom subset traced into a single XLA
+        program, eliminating the per-stage host round-trips of the staged
+        path below. Returns (x_cand, x_nys, weights) or None when the
+        configuration isn't covered (mesh mode, non-GPState pi, categorical/
+        mixed/dataset domains, exotic continuous priors) — the staged host
+        path then runs unchanged. In the common branch the fused program
+        consumes the same 4 KeyRing keys through the same primitives as the
+        host path; outputs match the staged path in distribution (exactly,
+        unless ulp-level XLA fusion noise shifts a stochastic resampler —
+        see core/fused_sampling.py)."""
+        from ..gp.exact import GPState
+        from .pi import PI
+
+        if self.mesh is not None or not isinstance(self.pi, PI):
+            return None
+        state = self.pi.model
+        if not isinstance(state, GPState):
+            return None
+
+        if self.label == "binary" and type(self.prior) is BinaryPrior:
+            from .fused_sampling import fused_candidates_binary
+
+            k = [self.keys.next() for _ in range(4)]
+            x, x_nys, w, probs = fused_candidates_binary(
+                state, self.pi.eta, self.prior.probs, *k, n_rec=n_rec,
+                n_nys=n_nys, thresh=self.thresh_initial)
+            self.prior = BinaryPrior(self.prior.n_dims, probs=probs)
+            return x, x_nys, w
+
+        if self.label == "continuous":
+            from ..priors.wkde import WeightedKernelDensityEstimation
+            from .fused_sampling import (
+                fused_candidates_cont_uniform,
+                fused_candidates_cont_wkde,
+            )
+
+            prior = self.prior
+            n_kde = min(4096, n_rec)
+
+            def wkde_holder(params, bounds):
+                new = object.__new__(WeightedKernelDensityEstimation)
+                new.n_dims = prior.n_dims
+                new.bounds = bounds
+                new.n_kde = n_kde
+                new._params = params
+                return new
+
+            if (type(prior) is WeightedKernelDensityEstimation
+                    and prior._params["x_obs"].shape[0] == n_kde):
+                k = [self.keys.next() for _ in range(4)]
+                x, x_nys, w, params = fused_candidates_cont_wkde(
+                    state, self.pi.eta, prior._params, prior.bounds, *k,
+                    n_rec=n_rec, n_nys=n_nys, thresh=self.thresh_initial,
+                    n_kde=n_kde)
+                self.prior = wkde_holder(params, prior.bounds)
+                return x, x_nys, w
+
+            if type(prior) is Uniform:
+                k = [self.keys.next() for _ in range(4)]
+                x, x_nys, w, params, did = fused_candidates_cont_uniform(
+                    state, self.pi.eta, prior.bounds, prior._sobol,
+                    prior._offset, *k, n_rec=n_rec, n_nys=n_nys,
+                    thresh=self.thresh_initial, n_kde=n_kde, qmc=prior.qmc)
+                prior._offset += n_rec  # the common path's one Sobol draw
+                # the Uniform -> WKDE switch needs one scalar fetch; it
+                # happens once per run (the proposal is a WKDE afterwards)
+                if bool(did):
+                    self.prior = wkde_holder(params, prior.bounds)
+                return x, x_nys, w
+
+        return None
+
     def sampling_candidates(self, n_rec: int, n_nys: int,
                             verbose: bool = False):
         """Full pipeline: draw -> update prior -> redraw -> Nystrom subset
         (SOBER/_sampler.py:263-323)."""
         assert n_rec > n_nys
+        fused = self._fused_candidates(n_rec, n_nys)
+        if fused is not None:
+            return fused
 
         # the reference retries recursive_sampling up to self.thresh times
         # (n_nys after the prior update — SOBER/_sampler.py:292-315); round-1
