@@ -130,9 +130,10 @@ def bench_dataset(n_total=133303, n_bits=2048, n_obs=512, n_rec=2000,
 def bench_ising(n_rec=200000, n_nys=500, batch=100, n_obs=500):
     """One full iteration of the reference's hardest published large-pool
     config (Ising, 24 binary edge masks, n_rec=200,000:
-    /root/reference/examples/ising.py:69): bucket-padded GP refit + full
-    Sober.next_batch (binary prior sampling + pi weighting + learned
-    proposal + KMeans Nystrom selection + kernel recombination)."""
+    /root/reference/examples/ising.py:69): one full iteration — bucket-
+    padded GP refit + binary prior sampling + pi weighting + learned
+    proposal + Nystrom selection + kernel recombination — as ONE XLA
+    dispatch via Sober.step."""
     from sober_tpu import Sober
     from sober_tpu.gp.exact import fit_gp_padded
     from sober_tpu.tasks import setup_ising
@@ -146,9 +147,7 @@ def bench_ising(n_rec=200000, n_nys=500, batch=100, n_obs=500):
     sober = Sober(prior, model, seed=0)
 
     def iteration():
-        m = fit_gp_padded(x_all, y_all)
-        sober.update_model(m)
-        xb = sober.next_batch(n_rec, n_nys, batch)
+        xb = sober.step(x_all, y_all, n_rec, n_nys, batch)
         jax.block_until_ready(xb)
 
     value = _median_time(iteration)
@@ -158,11 +157,11 @@ def bench_ising(n_rec=200000, n_nys=500, batch=100, n_obs=500):
 def bench_fbgp(n_obs=100, d=3, n_hypers=1000, n_nys=100, n_qd=50):
     """The fully-Bayesian hyper pipeline at the tutorial-04 config
     (BASELINE.md: 1000 hypersamples -> distilled to 10-50, n_nys=100):
-    sampling_hypers (ONE vmapped 1001-theta batched Cholesky vs the
+    the 1001-theta LML sweep (ONE vmapped batched Cholesky vs the
     reference's Python loop, _fully_Bayesian_gp.py:179-203) + RCHQ
-    quadrature distillation + the per-chain Cholesky cache build."""
-    from sober_tpu.gp.fbgp import (FitboGP, RBFHyperPrior, sampling_hypers,
-                                   quadrature_distillation, FullyBayesianGP)
+    quadrature distillation + the per-chain Cholesky cache build, all as
+    ONE XLA program (gp.fbgp.fbgp_refit)."""
+    from sober_tpu.gp.fbgp import FitboGP, RBFHyperPrior, fbgp_refit
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-1, 1, (n_obs, d)), jnp.float32)
@@ -172,10 +171,8 @@ def bench_fbgp(n_obs=100, d=3, n_hypers=1000, n_nys=100, n_qd=50):
     key = jax.random.key(0)
 
     def pipeline():
-        hypers, lmls = sampling_hypers(model, hp, n_hypers=n_hypers, key=key)
-        w_qd, theta_qd = quadrature_distillation(hypers, lmls, n_nys=n_nys,
-                                                 n_qd=n_qd)
-        fbgp = FullyBayesianGP(model, w_qd, theta_qd)
+        fbgp = fbgp_refit(model, hp, n_hypers=n_hypers, n_nys=n_nys,
+                          n_qd=n_qd, key=key)
         jax.block_until_ready(fbgp._cache.alpha)
 
     value = _median_time(pipeline)

@@ -5,8 +5,7 @@ import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax, jax.numpy as jnp
 from sober_tpu import Sober
-from sober_tpu.gp import (FitboGP, RBFHyperPrior, sampling_hypers,
-                          quadrature_distillation, FullyBayesianGP,
+from sober_tpu.gp import (FitboGP, RBFHyperPrior, fbgp_refit,
                           FBGPAcquisitionFunction)
 from sober_tpu.tasks import setup_hartmann
 from sober_tpu.utils.prng import KeyRing
@@ -20,12 +19,11 @@ def main(n_init=50, n_iterations=10, n_hypers=1000, n_nys_qd=100, n_qd=50,
     y_all = fn(x_all)
     for it in range(n_iterations):
         gp = FitboGP(x_all, y_all)
-        hypers, lmls = sampling_hypers(gp, RBFHyperPrior(),
-                                       n_hypers=n_hypers, key=keys.next())
-        w_qd, theta_qd = quadrature_distillation(hypers, lmls,
-                                                 n_nys=n_nys_qd,
-                                                 n_qd=n_qd, key=keys.next())
-        fbgp = FullyBayesianGP(gp, w_qd, theta_qd)
+        # the whole hyper pipeline (LML sweep -> distillation -> chain
+        # caches) as one XLA program; the staged sampling_hypers /
+        # quadrature_distillation / FullyBayesianGP calls remain available
+        fbgp = fbgp_refit(gp, RBFHyperPrior(), n_hypers=n_hypers,
+                          n_nys=n_nys_qd, n_qd=n_qd, key=keys.next())
         sober = Sober(prior, fbgp, seed=it)
         af = FBGPAcquisitionFunction(fbgp, "MES")
         xb = sober.next_batch(n_rec, n_nys, batch_size, calc_obj=af)

@@ -13,6 +13,10 @@ refill), into one program per domain family:
   * fused_candidates_cont_uniform — Sobol/uniform box proposal -> WKDE
   * fused_candidates_cont_wkde    — WKDE proposal -> WKDE refit
 
+plus `fused_iteration_*` variants (including fused_iteration_dataset for
+dataset pools) that additionally run kernel recombination in the SAME
+program — the whole non-refit `Sober.next_batch` body as one dispatch.
+
 Semantics mirror the host path exactly (same branch conditions, same
 refill-round bounds, same uniform-weight fallbacks), and the COMMON path
 (healthy first draw, refill satisfied by one redraw) consumes the KeyRing
@@ -87,10 +91,8 @@ def _refill(key, draw_w, x0, w0, need, bound):
     return x, w, none
 
 
-@partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh"))
-def fused_candidates_binary(state: GPState, eta, probs, k_draw, k_update,
-                            k_refill, k_nys, *, n_rec: int, n_nys: int,
-                            thresh: int):
+def _binary_pipeline(state: GPState, eta, probs, k_draw, k_update,
+                     k_refill, k_nys, n_rec: int, n_nys: int, thresh: int):
     """Binary domain: Bernoulli proposal with closed-form MLE update.
 
     Returns (x_cand, x_nys, weights, probs_out); probs_out equals the old
@@ -156,6 +158,15 @@ def fused_candidates_binary(state: GPState, eta, probs, k_draw, k_update,
     return x, x[idx], w, p_out
 
 
+@partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh"))
+def fused_candidates_binary(state: GPState, eta, probs, k_draw, k_update,
+                            k_refill, k_nys, *, n_rec: int, n_nys: int,
+                            thresh: int):
+    """Jitted wrapper of _binary_pipeline (see its docstring)."""
+    return _binary_pipeline(state, eta, probs, k_draw, k_update, k_refill,
+                            k_nys, n_rec, n_nys, thresh)
+
+
 def _cont_select_nys(k_nys, x, w, take_head, n_nys: int):
     """Continuous Nystrom subset (core/sampler.py:236-242): weight-resample
     up to 4096 rows, KMeans to n_nys centroids; head slice on the
@@ -216,12 +227,10 @@ def _cont_branches(probe, draw_old, update_on, draw_with, k_update, k_refill,
     return jax.lax.cond(ok1, branch_healthy, branch_degenerate, None)
 
 
-@partial(jax.jit,
-         static_argnames=("n_rec", "n_nys", "thresh", "n_kde", "qmc"))
-def fused_candidates_cont_uniform(state: GPState, eta, bounds, sobol_state,
-                                  sobol_offset, k_draw, k_update, k_refill,
-                                  k_nys, *, n_rec: int, n_nys: int,
-                                  thresh: int, n_kde: int, qmc: bool):
+def _uniform_pipeline(state: GPState, eta, bounds, sobol_state,
+                      sobol_offset, k_draw, k_update, k_refill,
+                      k_nys, n_rec: int, n_nys: int,
+                      thresh: int, n_kde: int, qmc: bool):
     """Continuous domain, Uniform (box) proposal -> WKDE update.
 
     Returns (x_cand, x_nys, weights, wkde_params, did_update). The host
@@ -269,11 +278,21 @@ def fused_candidates_cont_uniform(state: GPState, eta, bounds, sobol_state,
     return x, x_nys, w, params, did
 
 
-@partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde"))
-def fused_candidates_cont_wkde(state: GPState, eta, params_old, bounds,
-                               k_draw, k_update, k_refill, k_nys, *,
-                               n_rec: int, n_nys: int, thresh: int,
-                               n_kde: int):
+@partial(jax.jit,
+         static_argnames=("n_rec", "n_nys", "thresh", "n_kde", "qmc"))
+def fused_candidates_cont_uniform(state: GPState, eta, bounds, sobol_state,
+                                  sobol_offset, k_draw, k_update, k_refill,
+                                  k_nys, *, n_rec: int, n_nys: int,
+                                  thresh: int, n_kde: int, qmc: bool):
+    """Jitted wrapper of _uniform_pipeline (see its docstring)."""
+    return _uniform_pipeline(state, eta, bounds, sobol_state, sobol_offset,
+                             k_draw, k_update, k_refill, k_nys, n_rec,
+                             n_nys, thresh, n_kde, qmc)
+
+
+def _wkde_pipeline(state: GPState, eta, params_old, bounds,
+                   k_draw, k_update, k_refill, k_nys,
+                   n_rec: int, n_nys: int, thresh: int, n_kde: int):
     """Continuous domain, WKDE proposal -> WKDE refit.
 
     Returns (x_cand, x_nys, weights, params_out) with params_out already
@@ -290,3 +309,210 @@ def fused_candidates_cont_wkde(state: GPState, eta, params_old, bounds,
         lambda a, b: jnp.where(did, a, b), params, params_old)
     x_nys = _cont_select_nys(k_nys, x, w, take_head, n_nys)
     return x, x_nys, w, params_out
+
+
+@partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde"))
+def fused_candidates_cont_wkde(state: GPState, eta, params_old, bounds,
+                               k_draw, k_update, k_refill, k_nys, *,
+                               n_rec: int, n_nys: int, thresh: int,
+                               n_kde: int):
+    """Jitted wrapper of _wkde_pipeline (see its docstring)."""
+    return _wkde_pipeline(state, eta, params_old, bounds, k_draw, k_update,
+                          k_refill, k_nys, n_rec, n_nys, thresh, n_kde)
+
+
+# ----------------------------------------------------------------------------
+# candidates + kernel recombination as ONE program (Sober.next_batch)
+# ----------------------------------------------------------------------------
+
+def _recombine(x, x_nys, w, kernel_tree, kernel_apply, batch: int):
+    from .rchq import _recombination_impl
+
+    idx, w_rchq = _recombination_impl(
+        x, x_nys, batch, lambda a, b: kernel_apply(kernel_tree, a, b),
+        init_weights=w)
+    return x[idx], w_rchq, idx
+
+
+@partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "batch",
+                                   "kernel_apply"))
+def fused_iteration_binary(state: GPState, eta, probs, k_draw, k_update,
+                           k_refill, k_nys, kernel_tree, *, n_rec: int,
+                           n_nys: int, thresh: int, batch: int,
+                           kernel_apply):
+    """_binary_pipeline + kernel recombination, one program.
+
+    Returns (x_batch, w_rchq, probs_out)."""
+    x, x_nys, w, probs_out = _binary_pipeline(
+        state, eta, probs, k_draw, k_update, k_refill, k_nys, n_rec, n_nys,
+        thresh)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
+                                    batch)
+    return x_batch, w_rchq, probs_out
+
+
+@partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde",
+                                   "qmc", "batch", "kernel_apply"))
+def fused_iteration_cont_uniform(state: GPState, eta, bounds, sobol_state,
+                                 sobol_offset, k_draw, k_update, k_refill,
+                                 k_nys, kernel_tree, *, n_rec: int,
+                                 n_nys: int, thresh: int, n_kde: int,
+                                 qmc: bool, batch: int, kernel_apply):
+    """_uniform_pipeline + kernel recombination, one program.
+
+    Returns (x_batch, w_rchq, wkde_params, did_update)."""
+    x, x_nys, w, params, did = _uniform_pipeline(
+        state, eta, bounds, sobol_state, sobol_offset, k_draw, k_update,
+        k_refill, k_nys, n_rec, n_nys, thresh, n_kde, qmc)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
+                                    batch)
+    return x_batch, w_rchq, params, did
+
+
+@partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde",
+                                   "batch", "kernel_apply"))
+def fused_iteration_cont_wkde(state: GPState, eta, params_old, bounds,
+                              k_draw, k_update, k_refill, k_nys,
+                              kernel_tree, *, n_rec: int, n_nys: int,
+                              thresh: int, n_kde: int, batch: int,
+                              kernel_apply):
+    """_wkde_pipeline + kernel recombination, one program.
+
+    Returns (x_batch, w_rchq, params_out)."""
+    x, x_nys, w, params_out = _wkde_pipeline(
+        state, eta, params_old, bounds, k_draw, k_update, k_refill, k_nys,
+        n_rec, n_nys, thresh, n_kde)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
+                                    batch)
+    return x_batch, w_rchq, params_out
+
+
+@partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "batch",
+                                   "prune", "kernel_apply"))
+def fused_iteration_dataset(state: GPState, eta, x_all, avail_mask, k_nys,
+                            kernel_tree, *, n_rec: int, n_nys: int,
+                            thresh: float, batch: int, prune: bool,
+                            kernel_apply):
+    """Dataset domain: pi over the whole pool -> adaptive top-k pruning ->
+    Nystrom subset -> kernel recombination, one program (the staged path:
+    EmpiricalSampler.sampling_datasets + sampling_recombination).
+
+    Returns (idx_global, x_batch, w_rchq); idx_global are dataset-row
+    indices of the selected batch."""
+    idx_sampled, x_cand, x_nys, w = _dataset_pipeline(
+        state, eta, x_all, avail_mask, k_nys, n_rec, n_nys, thresh, prune)
+    x_batch, w_rchq, idx_local = _recombine(x_cand, x_nys, w, kernel_tree,
+                                            kernel_apply, batch)
+    return idx_sampled[idx_local], x_batch, w_rchq
+
+
+def _dataset_pipeline(state, eta, x_all, avail_mask, k_nys, n_rec: int,
+                      n_nys: int, thresh: float, prune: bool):
+    """pi over the whole pool -> adaptive top-k pruning -> Nystrom subset
+    (the staged EmpiricalSampler.sampling_datasets body)."""
+    w_all = lfi(state, eta, x_all)
+    w_all = jnp.where(avail_mask, w_all, 0.0)
+    if prune:
+        k = min(n_rec, x_all.shape[0])
+        w_top, idx_sampled = jax.lax.top_k(w_all, k)
+        keep = jnp.logical_or(w_top > thresh, jnp.arange(k) < n_nys)
+        x_cand = x_all[idx_sampled]
+        w = jnp.where(keep, w_top, 0.0)
+    else:
+        idx_sampled = jnp.arange(x_all.shape[0])
+        x_cand = x_all
+        w = w_all
+    w = cleansing_weights(w)
+    idx_nys = deweighted_resampling(k_nys, w, n_nys)
+    return idx_sampled, x_cand, x_cand[idx_nys], w
+
+
+# ----------------------------------------------------------------------------
+# GP refit + candidates + recombination as ONE program (Sober.step)
+# ----------------------------------------------------------------------------
+#
+# The step programs take the bucket-padded observation buffer instead of a
+# fitted GPState: the MAP refit (gp.exact.fit_gp_traced), the incumbent
+# eta, the candidate pipeline, and kernel recombination all trace into a
+# single dispatch — a whole BO iteration crosses the host/device boundary
+# once. The fitted state is returned so the host can rebuild its pi and
+# kernel adapters with zero fetches.
+
+def _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser):
+    from ..gp.exact import fit_gp_traced, posterior_max_mean
+
+    state = fit_gp_traced(x_pad, y_pad, mask, cfg, optimiser)
+    return state, posterior_max_mean(state)
+
+
+@partial(jax.jit, static_argnames=("cfg", "optimiser", "n_rec", "n_nys",
+                                   "thresh", "batch", "kernel_apply"))
+def fused_bo_step_binary(x_pad, y_pad, mask, probs, k_draw, k_update,
+                         k_refill, k_nys, *, cfg, optimiser: str,
+                         n_rec: int, n_nys: int, thresh: int, batch: int,
+                         kernel_apply):
+    """Refit + _binary_pipeline + recombination, one program.
+
+    Returns (state, x_batch, w_rchq, probs_out)."""
+    state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser)
+    x, x_nys, w, probs_out = _binary_pipeline(
+        state, eta, probs, k_draw, k_update, k_refill, k_nys, n_rec, n_nys,
+        thresh)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch)
+    return state, x_batch, w_rchq, probs_out
+
+
+@partial(jax.jit, static_argnames=("cfg", "optimiser", "n_rec", "n_nys",
+                                   "thresh", "n_kde", "qmc", "batch",
+                                   "kernel_apply"))
+def fused_bo_step_cont_uniform(x_pad, y_pad, mask, bounds, sobol_state,
+                               sobol_offset, k_draw, k_update, k_refill,
+                               k_nys, *, cfg, optimiser: str, n_rec: int,
+                               n_nys: int, thresh: int, n_kde: int,
+                               qmc: bool, batch: int, kernel_apply):
+    """Refit + _uniform_pipeline + recombination, one program.
+
+    Returns (state, x_batch, w_rchq, wkde_params, did_update)."""
+    state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser)
+    x, x_nys, w, params, did = _uniform_pipeline(
+        state, eta, bounds, sobol_state, sobol_offset, k_draw, k_update,
+        k_refill, k_nys, n_rec, n_nys, thresh, n_kde, qmc)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch)
+    return state, x_batch, w_rchq, params, did
+
+
+@partial(jax.jit, static_argnames=("cfg", "optimiser", "n_rec", "n_nys",
+                                   "thresh", "n_kde", "batch",
+                                   "kernel_apply"))
+def fused_bo_step_cont_wkde(x_pad, y_pad, mask, params_old, bounds, k_draw,
+                            k_update, k_refill, k_nys, *, cfg,
+                            optimiser: str, n_rec: int, n_nys: int,
+                            thresh: int, n_kde: int, batch: int,
+                            kernel_apply):
+    """Refit + _wkde_pipeline + recombination, one program.
+
+    Returns (state, x_batch, w_rchq, params_out)."""
+    state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser)
+    x, x_nys, w, params_out = _wkde_pipeline(
+        state, eta, params_old, bounds, k_draw, k_update, k_refill, k_nys,
+        n_rec, n_nys, thresh, n_kde)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch)
+    return state, x_batch, w_rchq, params_out
+
+
+@partial(jax.jit, static_argnames=("cfg", "optimiser", "n_rec", "n_nys",
+                                   "thresh", "batch", "prune",
+                                   "kernel_apply"))
+def fused_bo_step_dataset(x_pad, y_pad, mask, x_all, avail_mask, k_nys, *,
+                          cfg, optimiser: str, n_rec: int, n_nys: int,
+                          thresh: float, batch: int, prune: bool,
+                          kernel_apply):
+    """Refit + dataset pi sweep + pruning + recombination, one program.
+
+    Returns (state, idx_global, x_batch, w_rchq)."""
+    state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser)
+    idx_sampled, x_cand, x_nys, w = _dataset_pipeline(
+        state, eta, x_all, avail_mask, k_nys, n_rec, n_nys, thresh, prune)
+    x_batch, w_rchq, idx_local = _recombine(x_cand, x_nys, w, state,
+                                            kernel_apply, batch)
+    return state, idx_sampled[idx_local], x_batch, w_rchq

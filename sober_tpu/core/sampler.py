@@ -256,6 +256,62 @@ class EmpiricalSampler(RecombinationSampler):
         host path; outputs match the staged path in distribution (exactly,
         unless ulp-level XLA fusion noise shifts a stochastic resampler —
         see core/fused_sampling.py)."""
+        return self._fused_dispatch(n_rec, n_nys, batch=None)
+
+    def _fused_iteration(self, n_rec: int, n_nys: int, batch: int):
+        """Candidates + kernel recombination as ONE program (the whole
+        non-dataset `Sober.next_batch` body minus the model refit). Returns
+        (x_batch, w_rchq) or None when the fused path doesn't cover the
+        configuration (see _fused_candidates) or the kernel lacks the
+        rc_apply/rc_tree stable-callable protocol."""
+        if not hasattr(self.kernel, "rc_apply"):
+            return None
+        return self._fused_dispatch(n_rec, n_nys, batch=batch)
+
+    def _fused_step(self, fit, n_rec: int, n_nys: int, batch: int,
+                    prune: bool = True):
+        """GP refit + candidates + recombination as ONE program (the whole
+        `Sober.step` body). `fit` = (x_pad, y_pad, mask, cfg, optimiser).
+        Returns (state, x_batch, w_rchq) — or (state, idx_global, x_batch,
+        w_rchq) for dataset pools — or None when not covered."""
+        if not hasattr(self.kernel, "rc_apply"):
+            return None
+        if self.label == "dataset":
+            return self._fused_dataset_iteration(n_rec, n_nys, batch,
+                                                 prune, fit=fit)
+        return self._fused_dispatch(n_rec, n_nys, batch, fit=fit)
+
+    def _fused_dataset_iteration(self, n_rec: int, n_nys: int, batch: int,
+                                 prune: bool, fit=None):
+        """Dataset-domain analogue of _fused_iteration: pi sweep + pruning
+        + Nystrom subset + recombination as one program (plus the GP refit
+        when `fit` is given). Returns (idx_global, x_batch, w_rchq) —
+        prefixed with the fitted state in step mode — or None when not
+        covered."""
+        from ..gp.exact import GPState
+        from ..priors.dataset import DatasetPrior
+        from .pi import PI
+
+        if (self.mesh is not None or not isinstance(self.pi, PI)
+                or not hasattr(self.kernel, "rc_apply")
+                or type(self.prior) is not DatasetPrior):
+            return None
+        state = self.pi.model
+        if not isinstance(state, GPState):
+            return None
+        from . import fused_sampling as fs
+
+        pool = (self.prior.available_candidates(),
+                self.prior.available_mask(), self.keys.next())
+        common = dict(n_rec=n_rec, n_nys=n_nys, thresh=1e-3, batch=batch,
+                      prune=prune, kernel_apply=self.kernel.rc_apply)
+        if fit is not None:
+            return fs.fused_bo_step_dataset(
+                *fit[:3], *pool, cfg=fit[3], optimiser=fit[4], **common)
+        return fs.fused_iteration_dataset(
+            state, self.pi.eta, *pool, self.kernel.rc_tree, **common)
+
+    def _fused_dispatch(self, n_rec: int, n_nys: int, batch, fit=None):
         from ..gp.exact import GPState
         from .pi import PI
 
@@ -264,23 +320,37 @@ class EmpiricalSampler(RecombinationSampler):
         state = self.pi.model
         if not isinstance(state, GPState):
             return None
+        # three modes share the pipeline bodies (core/fused_sampling.py):
+        #   candidates-only (batch None), candidates+recombination
+        #   (batch set), and refit+candidates+recombination (fit set —
+        #   the model/kernel tree is then built in-trace from the padded
+        #   observation buffer instead of being passed in)
+        step = fit is not None
+        rc = {} if batch is None else dict(
+            kernel_apply=self.kernel.rc_apply, batch=batch)
+        if step:
+            head, tail = tuple(fit[:3]), ()
+            rc.update(cfg=fit[3], optimiser=fit[4])
+        else:
+            head = (state, self.pi.eta)
+            tail = () if batch is None else (self.kernel.rc_tree,)
 
         if self.label == "binary" and type(self.prior) is BinaryPrior:
-            from .fused_sampling import fused_candidates_binary
+            from . import fused_sampling as fs
 
+            fn = (fs.fused_bo_step_binary if step
+                  else fs.fused_iteration_binary if batch is not None
+                  else fs.fused_candidates_binary)
             k = [self.keys.next() for _ in range(4)]
-            x, x_nys, w, probs = fused_candidates_binary(
-                state, self.pi.eta, self.prior.probs, *k, n_rec=n_rec,
-                n_nys=n_nys, thresh=self.thresh_initial)
+            *out, probs = fn(
+                *head, self.prior.probs, *k, *tail,
+                n_rec=n_rec, n_nys=n_nys, thresh=self.thresh_initial, **rc)
             self.prior = BinaryPrior(self.prior.n_dims, probs=probs)
-            return x, x_nys, w
+            return tuple(out)
 
         if self.label == "continuous":
             from ..priors.wkde import WeightedKernelDensityEstimation
-            from .fused_sampling import (
-                fused_candidates_cont_uniform,
-                fused_candidates_cont_wkde,
-            )
+            from . import fused_sampling as fs
 
             prior = self.prior
             n_kde = min(4096, n_rec)
@@ -295,26 +365,34 @@ class EmpiricalSampler(RecombinationSampler):
 
             if (type(prior) is WeightedKernelDensityEstimation
                     and prior._params["x_obs"].shape[0] == n_kde):
+                fn = (fs.fused_bo_step_cont_wkde if step
+                      else fs.fused_iteration_cont_wkde if batch is not None
+                      else fs.fused_candidates_cont_wkde)
                 k = [self.keys.next() for _ in range(4)]
-                x, x_nys, w, params = fused_candidates_cont_wkde(
-                    state, self.pi.eta, prior._params, prior.bounds, *k,
-                    n_rec=n_rec, n_nys=n_nys, thresh=self.thresh_initial,
-                    n_kde=n_kde)
+                *out, params = fn(
+                    *head, prior._params, prior.bounds, *k, *tail,
+                    n_rec=n_rec, n_nys=n_nys,
+                    thresh=self.thresh_initial, n_kde=n_kde, **rc)
                 self.prior = wkde_holder(params, prior.bounds)
-                return x, x_nys, w
+                return tuple(out)
 
             if type(prior) is Uniform:
+                fn = (fs.fused_bo_step_cont_uniform if step
+                      else fs.fused_iteration_cont_uniform
+                      if batch is not None
+                      else fs.fused_candidates_cont_uniform)
                 k = [self.keys.next() for _ in range(4)]
-                x, x_nys, w, params, did = fused_candidates_cont_uniform(
-                    state, self.pi.eta, prior.bounds, prior._sobol,
-                    prior._offset, *k, n_rec=n_rec, n_nys=n_nys,
-                    thresh=self.thresh_initial, n_kde=n_kde, qmc=prior.qmc)
+                *out, params, did = fn(
+                    *head, prior.bounds, prior._sobol,
+                    prior._offset, *k, *tail, n_rec=n_rec, n_nys=n_nys,
+                    thresh=self.thresh_initial, n_kde=n_kde, qmc=prior.qmc,
+                    **rc)
                 prior._offset += n_rec  # the common path's one Sobol draw
                 # the Uniform -> WKDE switch needs one scalar fetch; it
                 # happens once per run (the proposal is a WKDE afterwards)
                 if bool(did):
                     self.prior = wkde_holder(params, prior.bounds)
-                return x, x_nys, w
+                return tuple(out)
 
         return None
 

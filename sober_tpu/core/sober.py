@@ -122,11 +122,14 @@ class Sober(EmpiricalSampler):
         return y
 
     def should_reset_prior(self, batch_size: int,
-                           recycle_prior: bool) -> bool:
+                           recycle_prior: bool, targets=None) -> bool:
         """Stagnation heuristic: reset the proposal after 3 non-improving
         batches (SOBER/_sober.py:84-123). Host-side: operates on a handful
-        of scalars."""
-        targets = self._targets()
+        of scalars. `targets` overrides the model-derived observation
+        history (Sober.step runs the heuristic BEFORE the in-program
+        refit, off the y buffer it is about to fit)."""
+        if targets is None:
+            targets = self._targets()
         n_targets = len(targets)
         learning_length = n_targets - self.n_init
         if learning_length <= 0 or learning_length == batch_size:
@@ -176,9 +179,27 @@ class Sober(EmpiricalSampler):
                 if verbose:
                     print("The prior was initialised.")
                 self.initialise_prior()
+            if not verbose and calc_obj is None:
+                # candidates + recombination as ONE XLA program (verbose
+                # wants per-stage prints, so it keeps the staged path)
+                fused = self._fused_iteration(n_rec, n_nys, batch_size)
+                if fused is not None:
+                    x_batch, w_rchq = fused
+                    return self._finish_batch(x_batch, w_rchq, t0,
+                                              return_weights, polish,
+                                              calc_obj)
             x_cand, x_nys, weights = self.sampling_candidates(
                 n_rec, n_nys, verbose=verbose)
         else:
+            if not verbose and calc_obj is None:
+                fused = self._fused_dataset_iteration(
+                    n_rec, n_nys, batch_size, self.dataset_pruning)
+                if fused is not None:
+                    idx_global, x_batch, w_rchq = fused
+                    return self._finish_batch(x_batch, w_rchq, t0,
+                                              return_weights, polish,
+                                              calc_obj,
+                                              idx_global=idx_global)
             idx_sampled, x_cand, x_nys, weights = self.sampling_datasets(
                 n_rec, n_nys, dataset_pruning=self.dataset_pruning)
         t1 = time.monotonic()
@@ -213,6 +234,80 @@ class Sober(EmpiricalSampler):
             return w_rchq, x_batch
         if self.label == "dataset":
             idx_global = idx_sampled[idx_rchq]
+            return idx_global, x_batch
+        return x_batch
+
+    def step(self, x_obs, y_obs, n_rec: int, n_nys: int, batch_size: int,
+             cfg=None, optimiser: str = "adam", bucket: int = 128,
+             recycle_prior: bool = True, return_weights: bool = False,
+             polish: bool = False):
+        """One-program BO iteration: bucket-padded GP MAP refit + the full
+        acquisition pipeline (candidate draw / dataset pi sweep, learned-
+        proposal update, Nystrom selection, kernel recombination) traced
+        into a SINGLE XLA dispatch (core/fused_sampling.py
+        fused_bo_step_*). Semantically equivalent to
+
+            model = fit_gp_padded(x_obs, y_obs, cfg, optimiser=optimiser)
+            sober.update_model(model)
+            sober.next_batch(n_rec, n_nys, batch_size, ...)
+
+        and falls back to exactly that staged sequence when the fused path
+        doesn't cover the configuration (mesh mode, categorical/mixed
+        domains, FBGP/BQ models, kernels without the rc protocol). The
+        learned proposal, prior-reset heuristic, and dataset pruning all
+        stay active. No reference analogue: the reference's iteration is
+        inherently multi-stage host code (SOBER/_sober.py:125-195 plus the
+        per-iteration GPyTorch refit)."""
+        from ..gp.exact import GPConfig, fit_gp_padded, pad_observations
+
+        t0 = time.monotonic()
+        if cfg is None:
+            cfg = GPConfig()
+        if self.label != "dataset" and self.should_reset_prior(
+                batch_size, recycle_prior, targets=np.asarray(y_obs)):
+            self.initialise_prior()
+
+        fused = None
+        if not (self.fbgp or self.is_bq):
+            x_pad, y_pad, mask = pad_observations(
+                jnp.asarray(x_obs), jnp.asarray(y_obs), bucket)
+            fused = self._fused_step(
+                (x_pad, y_pad, mask, cfg, optimiser), n_rec, n_nys,
+                batch_size, prune=self.dataset_pruning)
+        if fused is None:
+            model = fit_gp_padded(x_obs, y_obs, cfg, optimiser=optimiser,
+                                  bucket=bucket)
+            self.update_model(model)
+            return self.next_batch(n_rec, n_nys, batch_size,
+                                   return_weights=return_weights,
+                                   recycle_prior=recycle_prior,
+                                   polish=polish)
+        state = fused[0]
+        self.update_model(state)
+        if self.label == "dataset":
+            _, idx_global, x_batch, w_rchq = fused
+            return self._finish_batch(x_batch, w_rchq, t0, return_weights,
+                                      polish, None, idx_global=idx_global)
+        _, x_batch, w_rchq = fused
+        return self._finish_batch(x_batch, w_rchq, t0, return_weights,
+                                  polish, None)
+
+    def _finish_batch(self, x_batch, w_rchq, t0, return_weights: bool,
+                      polish: bool, calc_obj, idx_global=None):
+        """Shared tail of next_batch for the fused-iteration fast paths:
+        exploit polish, timings, return value."""
+        if (polish and calc_obj is None and not return_weights
+                and self.label == "continuous"
+                and not (self.fbgp or self.is_bq)
+                and isinstance(self.pi.model, GPState)
+                and getattr(self.prior, "bounds", None) is not None):
+            x_batch = self._exploit_polish(x_batch)
+        total = time.monotonic() - t0
+        # candidates + recombination ran as one program — no split exists
+        self.last_timings = {"fused_iteration": total, "total": total}
+        if return_weights:
+            return w_rchq, x_batch
+        if idx_global is not None:
             return idx_global, x_batch
         return x_batch
 

@@ -26,6 +26,7 @@ from .fbgp import (
     fitbo_mll,
     sampling_hypers,
     quadrature_distillation,
+    fbgp_refit,
     FullyBayesianGP,
     FBGPAcquisitionFunction,
     PIFBGP,
@@ -46,7 +47,7 @@ __all__ = [
     "raw_params_from_state",
     "ScaleMmltGP", "PIBQ",
     "FitboGP", "RBFHyperPrior", "ScaleVanillaGP", "fitbo_mll",
-    "sampling_hypers", "quadrature_distillation", "FullyBayesianGP",
+    "sampling_hypers", "quadrature_distillation", "fbgp_refit", "FullyBayesianGP",
     "FBGPAcquisitionFunction", "PIFBGP",
     "batch_tanimoto_sim", "fit_tanimoto_gp",
     "MultiTaskGPState", "fit_multitask_gp", "predict_multitask",

@@ -445,9 +445,11 @@ def raw_params_from_state(state: GPState) -> GPParams:
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "optimiser"))
-def _fit_gp_jit(x, y, mask, cfg: GPConfig, optimiser: str,
-                params0=None) -> GPState:
+def fit_gp_traced(x, y, mask, cfg: GPConfig, optimiser: str,
+                  params0=None) -> GPState:
+    """The full fit as a plain traceable function — call inside a larger
+    jitted program (core/fused_sampling.py's one-program BO step) or via
+    the jitted wrapper below."""
     y = y.reshape(-1)
     if cfg.standardize_y:
         m, sd = _masked_stats(y, mask)
@@ -459,6 +461,9 @@ def _fit_gp_jit(x, y, mask, cfg: GPConfig, optimiser: str,
     params = fit_params(x, y_std_scale, cfg, params0=params0,
                         optimiser=optimiser, mask=mask)
     return build_state(params, x, y, cfg, mask=mask)
+
+
+_fit_gp_jit = jax.jit(fit_gp_traced, static_argnames=("cfg", "optimiser"))
 
 
 def fit_gp(x: jax.Array, y: jax.Array, cfg: Optional[GPConfig] = None,

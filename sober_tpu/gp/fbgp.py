@@ -36,7 +36,8 @@ from jax.scipy.linalg import cho_solve, solve_triangular
 from ..ops.kernels import rbf_gram
 from ..utils.linalg import jitter_cholesky, remove_anomalies
 from ..utils.weights import cleansing_weights, deweighted_resampling
-from .exact import GPConfig, GPState, fit_gp, predict, predictive_covariance
+from .exact import (GPConfig, GPState, fit_gp, fit_params, materialize,
+                    predict, predictive_covariance)
 
 # Device-free module constants: computed with math/numpy, NOT jnp ops —
 # a jnp op at import time initializes the default backend, which breaks the
@@ -289,6 +290,27 @@ _fitbo_mll_sweep = jax.jit(
     jax.vmap(fitbo_mll, in_axes=(0, None, None, None, None)))
 
 
+def _theta_map_of(model: "FitboGP", hyperprior: "RBFHyperPrior"):
+    """The base model's MAP hypers as the theta layout the hyperprior uses
+    (noise, ls-block, outputscale), with ARD-shape validation."""
+    if "lengthscale" not in model.model.kernel.params:
+        raise ValueError(
+            "FBGP hypersampling needs a lengthscale-bearing kernel; "
+            f"{model.model.kernel.name!r} has none")
+    ls_map = jnp.atleast_1d(
+        jnp.asarray(model.model.kernel.params["lengthscale"]))
+    if ls_map.shape[0] != hyperprior.n_ls:
+        raise ValueError(
+            f"model lengthscale has {ls_map.shape[0]} dimension(s) but the "
+            f"hyperprior was built with n_ls={hyperprior.n_ls}; construct "
+            f"RBFHyperPrior(n_ls={ls_map.shape[0]}) for an ARD base model")
+    return jnp.concatenate([
+        jnp.atleast_1d(jnp.asarray(model.model.noise)),
+        ls_map,
+        jnp.atleast_1d(jnp.asarray(model.model.kernel.params["outputscale"])),
+    ])
+
+
 def sampling_hypers(model: FitboGP, hyperprior: RBFHyperPrior,
                     n_hypers: int = 1000, key=None, use_map: bool = False):
     """Evaluate the LML over hypersamples — one vmapped batched Cholesky
@@ -303,22 +325,7 @@ def sampling_hypers(model: FitboGP, hyperprior: RBFHyperPrior,
     fobs = getattr(model, "fobs_padded", model.Y_unwarp)
     mask = model.model.mask
     eta = model.alpha
-    if "lengthscale" not in model.model.kernel.params:
-        raise ValueError(
-            "FBGP hypersampling needs a lengthscale-bearing kernel; "
-            f"{model.model.kernel.name!r} has none")
-    ls_map = jnp.atleast_1d(
-        jnp.asarray(model.model.kernel.params["lengthscale"]))
-    if ls_map.shape[0] != hyperprior.n_ls:
-        raise ValueError(
-            f"model lengthscale has {ls_map.shape[0]} dimension(s) but the "
-            f"hyperprior was built with n_ls={hyperprior.n_ls}; construct "
-            f"RBFHyperPrior(n_ls={ls_map.shape[0]}) for an ARD base model")
-    theta_map = jnp.concatenate([
-        jnp.atleast_1d(jnp.asarray(model.model.noise)),
-        ls_map,
-        jnp.atleast_1d(jnp.asarray(model.model.kernel.params["outputscale"])),
-    ])
+    theta_map = _theta_map_of(model, hyperprior)
     if use_map:
         hyperprior.initialise(theta_map)
     samples = hyperprior.sample(key, n_hypers)
@@ -426,20 +433,100 @@ _chain_cache_sweep = jax.jit(
     jax.vmap(_chain_cache, in_axes=(0, None, None, None)))
 
 
+# ScaleVanillaGP's defaults as a hashable config for the fused refit below
+# (kernel_name="rbf", lik=1e-10, rng=10 -> noise in [1e-11, 1e-9])
+_VBQ_CFG = GPConfig(kernel_name="rbf", noise_lo=1e-11, noise_hi=1e-9,
+                    train_lik=False, standardize_y=False, use_priors=False,
+                    fit_iters=200)
+
+
+@partial(jax.jit, static_argnames=("n_hypers", "n_nys", "n_qd", "cfg"))
+def _fbgp_refit_program(x, fobs, mask, eta, theta_map, hypermu, hyperstd,
+                        k_sample, k_nys, *, n_hypers: int, n_nys: int,
+                        n_qd: int, cfg: GPConfig):
+    """The whole FBGP hyper pipeline as ONE XLA program: hyperprior draw ->
+    vmapped LML sweep -> LML-weighted Nystrom subset -> exp-warped
+    hyper-surrogate MAP fit -> RCHQ distillation -> chain-cache build.
+
+    The staged path (sampling_hypers + quadrature_distillation +
+    FullyBayesianGP(...)) dispatches five programs with host fetches
+    between them; through a remote-dispatch link the fetches and
+    executable swaps dominate the actual compute. Semantics are identical
+    stage-for-stage (the surrogate fit uses `materialize` instead of
+    `build_state` because only the fitted prior kernel is consumed —
+    ScaleVanillaGP's posterior cache is never used by the distillation,
+    SOBER/FBGP/_fully_Bayesian_gp.py:205-245)."""
+    dim = hypermu.shape[0]
+    z = jax.random.normal(k_sample, (n_hypers, dim))
+    samples = jnp.vstack([
+        jnp.concatenate([jnp.array([-10.0]), jnp.log(theta_map)])[None, :],
+        hypermu[None, :] + z * hyperstd[None, :],
+    ])
+    lmls = jax.vmap(fitbo_mll, in_axes=(0, None, None, None, None))(
+        samples, x, fobs, eta, mask)
+    big = jnp.exp(samples)
+    hypersamples = jnp.concatenate([eta + big[:, :1], big[:, 1:]], axis=1)
+
+    weights = cleansing_weights(jnp.exp(lmls - jnp.max(lmls)))
+    idx_nys = deweighted_resampling(k_nys, weights, n_nys)
+    hyper_nys = hypersamples[idx_nys]
+
+    y_clamped = remove_anomalies(lmls)
+    y_exp = jnp.exp(y_clamped - jnp.max(y_clamped))
+    params = fit_params(hypersamples, y_exp, cfg, optimiser="lbfgs")
+    kernel, _ = materialize(params, cfg)
+
+    from ..core.rchq import _recombination_impl
+
+    idx, w_qd = _recombination_impl(hypersamples, hyper_nys, n_qd,
+                                    kernel.gram, init_weights=weights)
+    theta_qd = hypersamples[idx]
+    chol, alpha = jax.vmap(_chain_cache, in_axes=(0, None, None, None))(
+        theta_qd, x, fobs, mask)
+    return w_qd, theta_qd, chol, alpha
+
+
+def fbgp_refit(model: "FitboGP", hyperprior: "RBFHyperPrior",
+               n_hypers: int = 1000, n_nys: int = 100, n_qd: int = 50,
+               key=None, use_map: bool = False) -> "FullyBayesianGP":
+    """One-call FBGP refit: sampling_hypers + quadrature_distillation +
+    FullyBayesianGP as a single XLA program (see _fbgp_refit_program).
+
+    Equivalent in distribution to the staged calls (exact stage-for-stage
+    semantics; the PRNG stream differs — the staged path uses two
+    independent default keys, this splits `key`)."""
+    if key is None:
+        key = jax.random.key(0)
+    theta_map = _theta_map_of(model, hyperprior)
+    if use_map:
+        hyperprior.initialise(theta_map)
+    k_sample, k_nys = jax.random.split(key)
+    w_qd, theta_qd, chol, alpha = _fbgp_refit_program(
+        model.model.x, getattr(model, "fobs_padded", model.Y_unwarp),
+        model.model.mask, model.alpha, theta_map, hyperprior.hypermu,
+        hyperprior.hyperstd, k_sample, k_nys, n_hypers=n_hypers,
+        n_nys=n_nys, n_qd=n_qd, cfg=_VBQ_CFG)
+    return FullyBayesianGP(model, w_qd, theta_qd,
+                           cache=_ChainCache(chol, alpha))
+
+
 class FullyBayesianGP:
     """Distilled-hyperposterior GP: predictions marginalized over n_qd
     hypersample chains, each with a cached Cholesky factor."""
 
     is_fbgp = True
 
-    def __init__(self, gp: FitboGP, w_qd, theta_qd):
+    def __init__(self, gp: FitboGP, w_qd, theta_qd, cache=None):
         self.Xobs = gp.model.x
         self.fobs = getattr(gp, "fobs_padded", gp.Y_unwarp)
         self.mask = gp.model.mask
         self.eta = gp.alpha
         self.w_qd = jnp.asarray(w_qd)
         self.Theta_qd = jnp.asarray(theta_qd)     # (q, 3+n_ls) ORIGINAL space
-        self._build_caches()
+        if cache is None:
+            self._build_caches()
+        else:
+            self._cache = cache                    # fbgp_refit's fused build
 
     def _build_caches(self):
         chol, alpha = _chain_cache_sweep(

@@ -10,17 +10,23 @@ failure is detected by NaN in the factor and repaired inside a
 """
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..config import settings
 
 
 def remove_anomalies(y: jax.Array, floor: float | None = None) -> jax.Array:
-    """Clamp NaN/Inf/very-negative observations (SOBER/_utils.py:88-99)."""
+    """Clamp NaN/Inf/very-negative observations (SOBER/_utils.py:88-99).
+
+    The default floor is computed host-side (math, not jnp) so the
+    function stays traceable inside jit (fbgp_refit's fused program)."""
     if floor is None:
-        floor = -float(jnp.sqrt(jnp.finfo(jnp.float32).max))
+        floor = -math.sqrt(float(np.finfo(np.float32).max))
     y = jnp.nan_to_num(y, nan=floor, posinf=floor, neginf=floor)
     return jnp.maximum(y, floor)
 

@@ -196,6 +196,35 @@ class TestFBGP:
         cov = np.asarray(fbgp.marginal_predictive_covariance(xq, xq))
         assert np.allclose(cov, cov.T, atol=1e-4)
 
+    def test_fbgp_refit_one_program(self):
+        """fbgp_refit (the whole hyper pipeline as one XLA program) must
+        produce a FullyBayesianGP equivalent to the staged calls: valid
+        distilled quadrature, finite marginal predictions, and a posterior
+        that agrees with a staged build to quadrature-compression noise."""
+        from sober_tpu.gp.fbgp import fbgp_refit
+
+        hp = RBFHyperPrior()
+        fused = fbgp_refit(self.gp, hp, n_hypers=200, n_nys=32, n_qd=16,
+                           key=KEY)
+        assert fused.Theta_qd.shape == (16, 4)
+        assert (np.asarray(fused.w_qd) >= 0).all()
+        assert abs(float(fused.w_qd.sum()) - 1.0) < 1e-3
+        assert np.isfinite(np.asarray(fused._cache.alpha)).all()
+
+        xq = jnp.linspace(-2, 2, 10).reshape(-1, 1)
+        mu_f, var_f = fused.marginal_predict(xq)
+        assert np.isfinite(np.asarray(mu_f)).all()
+        assert (np.asarray(var_f) >= -1e-5).all()
+
+        hypers, lmls = sampling_hypers(self.gp, hp, n_hypers=200, key=KEY)
+        w_qd, theta_qd = quadrature_distillation(hypers, lmls, n_nys=32,
+                                                 n_qd=16)
+        staged = FullyBayesianGP(self.gp, w_qd, theta_qd)
+        mu_s, _ = staged.marginal_predict(xq)
+        # different PRNG streams -> different support hypersamples, but the
+        # marginalized posterior mean must agree closely
+        assert np.allclose(np.asarray(mu_f), np.asarray(mu_s), atol=0.1)
+
     def test_acquisitions_and_pi(self):
         hp = RBFHyperPrior()
         hypers, lmls = sampling_hypers(self.gp, hp, n_hypers=100, key=KEY)

@@ -154,3 +154,186 @@ class TestEndToEnd:
         assert xb.shape == (8, 2)
         assert bool(jnp.isfinite(xb).all())
         assert sober.prior is not prior0
+
+
+class TestFusedIteration:
+    """next_batch's one-program candidates+recombination fast path."""
+
+    def test_engages_and_is_valid_binary(self, monkeypatch):
+        state = _gp_binary()
+        sober = Sober(BinaryPrior(10), state, seed=7)
+        calls = []
+        orig = EmpiricalSampler._fused_iteration
+        monkeypatch.setattr(
+            EmpiricalSampler, "_fused_iteration",
+            lambda self, a, b, c: calls.append(1) or orig(self, a, b, c))
+        w, xb = sober.next_batch(2048, 64, 8, return_weights=True)
+        assert calls, "fused iteration path did not engage"
+        assert "fused_iteration" in sober.last_timings
+        assert xb.shape == (8, 10)
+        x = np.asarray(xb)
+        assert ((x == 0) | (x == 1)).all()
+        w = np.asarray(w)
+        assert np.isfinite(w).all() and (w >= 0).all()
+        assert np.isclose(w.sum(), 1.0, atol=1e-3)
+        # learned proposal advanced
+        assert not np.allclose(np.asarray(sober.prior.probs), 0.5)
+
+    def test_fused_and_staged_agree(self, monkeypatch):
+        """Same seed, fused one-program vs staged next_batch: valid
+        quadrature weights from both, and the learned proposals agree to
+        resampling noise (the pools are equal in distribution; exact batch
+        parity is not guaranteed across program boundaries — see
+        core/fused_sampling.py)."""
+        state = _gp_binary(seed=2)
+        sf = Sober(BinaryPrior(10), state, seed=13)
+        wf, xbf = sf.next_batch(1024, 32, 8, return_weights=True)
+
+        monkeypatch.setattr(EmpiricalSampler, "_fused_iteration",
+                            lambda self, a, b, c: None)
+        _host_only(monkeypatch)
+        sh = Sober(BinaryPrior(10), state, seed=13)
+        wh, xbh = sh.next_batch(1024, 32, 8, return_weights=True)
+
+        for w, xb in ((wf, xbf), (wh, xbh)):
+            w = np.asarray(w)
+            assert np.isfinite(w).all() and (w >= 0).all()
+            assert np.isclose(w.sum(), 1.0, atol=1e-3)
+            assert xb.shape == (8, 10)
+        assert np.allclose(np.asarray(sf.prior.probs),
+                           np.asarray(sh.prior.probs), atol=0.15)
+
+    def test_continuous_uniform_advances_to_wkde(self):
+        from sober_tpu.priors.wkde import WeightedKernelDensityEstimation
+
+        state = _gp_cont(seed=6)
+        bounds = jnp.stack([-jnp.ones(2), jnp.ones(2)])
+        sober = Sober(Uniform(bounds), state, seed=21)
+        xb = sober.next_batch(2048, 64, 8)
+        assert xb.shape == (8, 2)
+        assert isinstance(sober.prior, WeightedKernelDensityEstimation)
+        xb2 = sober.next_batch(2048, 64, 8)
+        assert bool(jnp.isfinite(xb2).all())
+
+    def test_dataset_iteration(self, monkeypatch):
+        """Dataset pools: the fused pi->prune->Nystrom->recombination
+        program must engage and select valid available rows; the staged
+        path must select a statistically similar batch (same pi, same
+        pruning rule)."""
+        from sober_tpu.priors.dataset import DatasetPrior
+
+        rng = np.random.default_rng(8)
+        feats = jnp.asarray(rng.integers(0, 2, (300, 16)), jnp.float32)
+        targets = jnp.asarray(rng.normal(size=300), jnp.float32)
+        ds = DatasetPrior(feats, targets)
+        x0, y0 = ds.sample(jax.random.key(0), 24)
+        from sober_tpu.gp.exact import fit_gp
+        state = fit_gp(x0, y0)
+
+        sf = Sober(DatasetPrior(feats, targets), state, seed=3)
+        idx_f, xb_f = sf.next_batch(128, 48, 8)
+        assert "fused_iteration" in sf.last_timings
+        assert xb_f.shape == (8, 16)
+        idx_f = np.asarray(idx_f)
+        assert ((idx_f >= 0) & (idx_f < 300)).all()
+        # the selected rows really are the indexed dataset rows
+        assert np.array_equal(np.asarray(xb_f),
+                              np.asarray(feats)[idx_f])
+
+        monkeypatch.setattr(EmpiricalSampler, "_fused_dataset_iteration",
+                            lambda self, a, b, c, d: None)
+        sh = Sober(DatasetPrior(feats, targets), state, seed=3)
+        idx_h, xb_h = sh.next_batch(128, 48, 8)
+        assert xb_h.shape == (8, 16)
+        # both paths prune by the same pi: heavy overlap expected
+        overlap = len(set(idx_f.tolist()) & set(np.asarray(idx_h).tolist()))
+        assert overlap >= 4, (idx_f, idx_h)
+
+    def test_staged_fallback_for_calc_obj_and_verbose(self, monkeypatch):
+        """calc_obj-augmented and verbose calls must keep the staged path."""
+        state = _gp_binary(seed=4)
+        sober = Sober(BinaryPrior(10), state, seed=5)
+
+        def boom(self, a, b, c):
+            raise AssertionError("fused iteration must not run")
+
+        monkeypatch.setattr(EmpiricalSampler, "_fused_iteration", boom)
+        xb = sober.next_batch(512, 32, 4, verbose=True)
+        assert xb.shape == (4, 10)
+
+
+class TestSoberStep:
+    """Sober.step: refit + pipeline + recombination as ONE dispatch."""
+
+    def _binary_data(self, d=10, n=40, seed=0):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.integers(0, 2, (n, d)), jnp.float32)
+        y = jnp.asarray(rng.normal(size=n), jnp.float32)
+        return x, y
+
+    def test_binary_step(self):
+        from sober_tpu.gp.exact import fit_gp
+
+        x0, y0 = self._binary_data()
+        sober = Sober(BinaryPrior(10), fit_gp(x0, y0), seed=3)
+        xb = sober.step(x0, y0, 1024, 32, 8)
+        assert "fused_iteration" in sober.last_timings
+        assert xb.shape == (8, 10)
+        x = np.asarray(xb)
+        assert ((x == 0) | (x == 1)).all()
+        # the model was refit in-program on the bucket-padded buffer
+        assert sober.pi.model.x.shape[0] == 128
+        assert int(sober.pi.model.mask.sum()) == 40
+        # proposal advanced
+        assert not np.allclose(np.asarray(sober.prior.probs), 0.5)
+
+    def test_continuous_step_two_iterations(self):
+        from sober_tpu.gp.exact import fit_gp
+        from sober_tpu.priors.wkde import WeightedKernelDensityEstimation
+
+        rng = np.random.default_rng(1)
+        x0 = jnp.asarray(rng.uniform(-1, 1, (30, 2)), jnp.float32)
+        y0 = jnp.sin(3 * x0[:, 0]) * jnp.cos(2 * x0[:, 1])
+        bounds = jnp.stack([-jnp.ones(2), jnp.ones(2)])
+        sober = Sober(Uniform(bounds), fit_gp(x0, y0), seed=9)
+        xb = sober.step(x0, y0, 2048, 64, 8)
+        assert xb.shape == (8, 2)
+        assert isinstance(sober.prior, WeightedKernelDensityEstimation)
+        x1 = jnp.concatenate([x0, xb])
+        y1 = jnp.sin(3 * x1[:, 0]) * jnp.cos(2 * x1[:, 1])
+        xb2 = sober.step(x1, y1, 2048, 64, 8)
+        assert bool(jnp.isfinite(xb2).all())
+        # second refit saw the appended observations
+        assert int(sober.pi.model.mask.sum()) == 38
+
+    def test_dataset_step(self):
+        from sober_tpu.gp.exact import fit_gp
+        from sober_tpu.priors.dataset import DatasetPrior
+
+        rng = np.random.default_rng(5)
+        feats = jnp.asarray(rng.integers(0, 2, (250, 16)), jnp.float32)
+        targets = jnp.asarray(rng.normal(size=250), jnp.float32)
+        ds = DatasetPrior(feats, targets)
+        x0, y0 = ds.sample(jax.random.key(2), 24)
+        sober = Sober(DatasetPrior(feats, targets), fit_gp(x0, y0), seed=4)
+        idx, xb = sober.step(x0, y0, 128, 48, 8)
+        assert xb.shape == (8, 16)
+        idx = np.asarray(idx)
+        assert np.array_equal(np.asarray(xb), np.asarray(feats)[idx])
+
+    def test_staged_fallback_equivalence(self, monkeypatch):
+        """With the fused step disabled, step() must produce the staged
+        refit -> update_model -> next_batch flow's exact result."""
+        from sober_tpu.gp.exact import fit_gp, fit_gp_padded
+
+        x0, y0 = self._binary_data(seed=7)
+        sf = Sober(BinaryPrior(10), fit_gp(x0, y0), seed=11)
+        monkeypatch.setattr(EmpiricalSampler, "_fused_step",
+                            lambda self, *a, **kw: None)
+        xb = sf.step(x0, y0, 512, 32, 4)
+
+        sh = Sober(BinaryPrior(10), fit_gp(x0, y0), seed=11)
+        model = fit_gp_padded(x0, y0)
+        sh.update_model(model)
+        xh = sh.next_batch(512, 32, 4)
+        assert np.array_equal(np.asarray(xb), np.asarray(xh))
