@@ -12,10 +12,14 @@ refill), into one program per domain family:
   * fused_candidates_binary       — Bernoulli proposal (MLE update)
   * fused_candidates_cont_uniform — Sobol/uniform box proposal -> WKDE
   * fused_candidates_cont_wkde    — WKDE proposal -> WKDE refit
+  * fused_candidates_discrete     — categorical and mixed (Uniform/WKDE x
+    Bernoulli/Categorical) domains via a static DomainSpec
 
 plus `fused_iteration_*` variants (including fused_iteration_dataset for
 dataset pools) that additionally run kernel recombination in the SAME
-program — the whole non-refit `Sober.next_batch` body as one dispatch.
+program — the whole non-refit `Sober.next_batch` body as one dispatch —
+and `fused_bo_step_*` variants that also fuse the bucket-padded GP MAP
+refit (`Sober.step`): a full BO iteration in a single dispatch.
 
 Semantics mirror the host path exactly (same branch conditions, same
 refill-round bounds, same uniform-weight fallbacks), and the COMMON path
@@ -41,6 +45,7 @@ No reference analogue: the reference's pipeline is inherently host-bound
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -425,6 +430,250 @@ def _dataset_pipeline(state, eta, x_all, avail_mask, k_nys, n_rec: int,
     w = cleansing_weights(w)
     idx_nys = deweighted_resampling(k_nys, w, n_nys)
     return idx_sampled, x_cand, x_cand[idx_nys], w
+
+
+# ----------------------------------------------------------------------------
+# categorical and mixed domains: one generic spec-driven program family
+# ----------------------------------------------------------------------------
+#
+# The remaining domain labels (categorical, mixedbinary, mixedcategorical)
+# share one pipeline parameterized by a static DomainSpec and an `entry`
+# tag for the continuous block's proposal family (mixed domains start
+# Uniform and switch to WKDE after the first update, like the pure
+# continuous path). Pools carry `concat([values, category-indices])` so
+# the categorical MLE update sees indices while the pi sweep and
+# recombination see values (the staged path's dual representation,
+# core/sampler.py:categorical_sampling).
+
+class DomainSpec(NamedTuple):
+    """Hashable static description of a discrete/mixed domain."""
+    label: str        # "categorical" | "mixedbinary" | "mixedcategorical"
+    cont_first: bool  # continuous block first in the joined layout
+    nc: int           # continuous dims (0 for pure categorical)
+    nd: int           # discrete dims
+    c_max: int        # padded category count; 0 => Bernoulli block
+
+
+def _join_blocks(spec: DomainSpec, xc, xd):
+    if spec.nc == 0:
+        return xd
+    return (jnp.concatenate([xc, xd], axis=1) if spec.cont_first
+            else jnp.concatenate([xd, xc], axis=1))
+
+
+def _split_blocks(spec: DomainSpec, x):
+    if spec.nc == 0:
+        return None, x
+    if spec.cont_first:
+        return x[:, :spec.nc], x[:, spec.nc:]
+    return x[:, spec.nd:], x[:, :spec.nd]
+
+
+def _uncarry(spec: DomainSpec, xA):
+    n_dims = spec.nc + spec.nd
+    if spec.c_max:
+        return xA[:, :n_dims], xA[:, n_dims:]
+    return xA, None
+
+
+def _disc_draw(spec: DomainSpec, dtree, k, n: int):
+    """Draw the discrete block; returns (values, float indices)."""
+    if spec.c_max:
+        wtab, vmask, vtab = dtree
+        logits = jnp.where(vmask, jnp.log(jnp.maximum(wtab, 1e-12)),
+                           -jnp.inf)
+        g = jax.random.gumbel(k, (n,) + logits.shape)
+        idx = jnp.argmax(logits[None] + g, axis=-1)           # (n, d)
+        vals = vtab[jnp.arange(spec.nd)[None, :], idx]
+        return vals.astype(jnp.float32), idx.astype(jnp.float32)
+    probs = dtree
+    u = jax.random.uniform(k, (n, spec.nd))
+    x = (u < probs[None, :]).astype(jnp.float32)
+    return x, x
+
+
+def _disc_logpdf(spec: DomainSpec, dtree, xd_vals, idxf):
+    if spec.c_max:
+        wtab, vmask, _ = dtree
+        w = jnp.where(vmask, jnp.maximum(wtab, 1e-12), 0.0)
+        probs = w / jnp.sum(w, axis=1, keepdims=True)
+        lp = jnp.log(probs)[jnp.arange(spec.nd)[None, :],
+                            idxf.astype(jnp.int32)]
+        return jnp.sum(lp, axis=1)
+    pc = jnp.clip(dtree, 1e-12, 1 - 1e-12)
+    lp = (xd_vals * jnp.log(pc)[None, :]
+          + (1 - xd_vals) * jnp.log1p(-pc)[None, :])
+    return jnp.sum(lp, axis=1)
+
+
+def _disc_update(spec: DomainSpec, dtree_old, w, xd_vals, idxf):
+    from .prior_update import categorical_mle
+
+    if spec.c_max:
+        _, vmask, vtab = dtree_old
+        p = categorical_mle(w, idxf.astype(jnp.int32), spec.nd, spec.c_max)
+        return (jnp.where(vmask, p, 0.0), vmask, vtab)
+    return bernoulli_mle(w, xd_vals)
+
+
+def _discrete_machinery(state, eta, spec: DomainSpec, bounds, disc_tree0,
+                        n_rec: int, n_kde: int):
+    """draw_with/update_on closures over params = (cont_wkde, disc_tree);
+    cont_wkde is () when spec.nc == 0."""
+
+    def draw_with(params):
+        cont_params, dtree = params
+
+        def draw(k):
+            if spec.nc:
+                kc, kd = jax.random.split(k)
+                xc = _wkde_sample(kc, cont_params, bounds, n_rec, 10)
+                lpc = jnp.log(jnp.maximum(
+                    _wkde_pdf(cont_params, bounds, xc), 1e-38))
+            else:
+                kd, xc, lpc = k, None, 0.0
+            xd, idxf = _disc_draw(spec, dtree, kd, n_rec)
+            lp = lpc + _disc_logpdf(spec, dtree, xd, idxf)
+            x = _join_blocks(spec, xc, xd)
+            xA = (jnp.concatenate([x, idxf], axis=1) if spec.c_max else x)
+            return xA, _pi_weights(state, eta, x, jnp.exp(lp))
+        return draw
+
+    def update_on(xA, w):
+        def upd(k):
+            x, idxd = _uncarry(spec, xA)
+            xc, xd = _split_blocks(spec, x)
+            idxf = idxd if spec.c_max else xd
+            dnew = _disc_update(spec, disc_tree0, w, xd, idxf)
+            cnew = (_wkde_fit(k, xc, w, n_kde, "scott", spec.nc)
+                    if spec.nc else ())
+            return (cnew, dnew)
+        return upd
+    return draw_with, update_on
+
+
+def _select_nys_disc(spec: DomainSpec, k_nys, xA, w, take_head, n_nys: int):
+    x, _ = _uncarry(spec, xA)
+    idx = deweighted_resampling(k_nys, w, n_nys)
+    idx = jnp.where(take_head, jnp.arange(n_nys, dtype=idx.dtype), idx)
+    return x[idx]
+
+
+def _discrete_pipeline(state, eta, spec: DomainSpec, cont_tree, disc_tree,
+                       sobol_state, sobol_offset, k_draw, k_update,
+                       k_refill, k_nys, n_rec: int, n_nys: int, thresh: int,
+                       n_kde: int, qmc: bool, entry: str):
+    """entry: "none" (pure categorical), "uniform" (mixed, first
+    iteration), "wkde" (mixed, after the first update). Returns
+    (x_cand, x_nys, weights, (cont_params, disc_tree_out), did_update);
+    for "wkde"/"none" entries the params are old-vs-new selected
+    ON DEVICE, so the host rebuilds unconditionally with zero fetches."""
+    if entry == "none":
+        bounds, cont_old = None, ()
+    elif entry == "uniform":
+        bounds, cont_old = cont_tree, None
+    else:
+        cont_old, bounds = cont_tree
+
+    draw_with, update_on = _discrete_machinery(
+        state, eta, spec, bounds, disc_tree, n_rec, n_kde)
+
+    if entry == "uniform":
+        lo, hi = bounds[0], bounds[1]
+        dens_log = -jnp.sum(jnp.log(hi - lo))
+
+        def draw_uniform(k, u=None):
+            kc, kd = jax.random.split(k)
+            if u is None:
+                u = jax.random.uniform(kc, (n_rec, spec.nc))
+            xc = lo[None, :] + (hi - lo)[None, :] * u
+            # staged parity: Uniform.pdf zeroes boundary-touching points
+            inside = jnp.logical_and(
+                jnp.all(xc > lo[None, :], axis=1),
+                jnp.all(xc < hi[None, :], axis=1))
+            xd, idxf = _disc_draw(spec, disc_tree, kd, n_rec)
+            lp = dens_log + _disc_logpdf(spec, disc_tree, xd, idxf)
+            x = _join_blocks(spec, xc, xd)
+            xA = (jnp.concatenate([x, idxf], axis=1) if spec.c_max else x)
+            pdf = jnp.where(inside, jnp.exp(lp), 0.0)
+            return xA, _pi_weights(state, eta, x, pdf)
+
+        draw_old = draw_uniform   # PRNG on rare-branch redraws
+        if qmc:
+            u0 = sobol_sample(sobol_state,
+                              jnp.asarray(sobol_offset, jnp.uint32), n_rec)
+            x1A, w1 = draw_uniform(k_draw, u=u0)
+        else:
+            x1A, w1 = draw_uniform(k_draw)
+    else:
+        draw_old = draw_with((cont_old, disc_tree))
+        x1A, w1 = draw_old(k_draw)
+
+    xA, w, params, did, take_head = _cont_branches(
+        (x1A, w1), draw_old, update_on, draw_with, k_update, k_refill,
+        n_nys, thresh)
+    if entry != "uniform":
+        params = jax.tree.map(lambda a, b: jnp.where(did, a, b),
+                              params, (cont_old, disc_tree))
+    x, _ = _uncarry(spec, xA)
+    x_nys = _select_nys_disc(spec, k_nys, xA, w, take_head, n_nys)
+    return x, x_nys, w, params, did
+
+
+@partial(jax.jit, static_argnames=("spec", "n_rec", "n_nys", "thresh",
+                                   "n_kde", "qmc", "entry"))
+def fused_candidates_discrete(state: GPState, eta, cont_tree, disc_tree,
+                              sobol_state, sobol_offset, k_draw, k_update,
+                              k_refill, k_nys, *, spec: DomainSpec,
+                              n_rec: int, n_nys: int, thresh: int,
+                              n_kde: int, qmc: bool, entry: str):
+    """Jitted wrapper of _discrete_pipeline (see its docstring)."""
+    return _discrete_pipeline(state, eta, spec, cont_tree, disc_tree,
+                              sobol_state, sobol_offset, k_draw, k_update,
+                              k_refill, k_nys, n_rec, n_nys, thresh, n_kde,
+                              qmc, entry)
+
+
+@partial(jax.jit, static_argnames=("spec", "n_rec", "n_nys", "thresh",
+                                   "n_kde", "qmc", "entry", "batch",
+                                   "kernel_apply"))
+def fused_iteration_discrete(state: GPState, eta, cont_tree, disc_tree,
+                             sobol_state, sobol_offset, k_draw, k_update,
+                             k_refill, k_nys, kernel_tree, *,
+                             spec: DomainSpec, n_rec: int, n_nys: int,
+                             thresh: int, n_kde: int, qmc: bool, entry: str,
+                             batch: int, kernel_apply):
+    """_discrete_pipeline + kernel recombination, one program.
+
+    Returns (x_batch, w_rchq, (cont_params, disc_tree_out), did)."""
+    x, x_nys, w, params, did = _discrete_pipeline(
+        state, eta, spec, cont_tree, disc_tree, sobol_state, sobol_offset,
+        k_draw, k_update, k_refill, k_nys, n_rec, n_nys, thresh, n_kde,
+        qmc, entry)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
+                                    batch)
+    return x_batch, w_rchq, params, did
+
+
+@partial(jax.jit, static_argnames=("cfg", "optimiser", "spec", "n_rec",
+                                   "n_nys", "thresh", "n_kde", "qmc",
+                                   "entry", "batch", "kernel_apply"))
+def fused_bo_step_discrete(x_pad, y_pad, mask, cont_tree, disc_tree,
+                           sobol_state, sobol_offset, k_draw, k_update,
+                           k_refill, k_nys, *, cfg, optimiser: str,
+                           spec: DomainSpec, n_rec: int, n_nys: int,
+                           thresh: int, n_kde: int, qmc: bool, entry: str,
+                           batch: int, kernel_apply):
+    """Refit + _discrete_pipeline + recombination, one program.
+
+    Returns (state, x_batch, w_rchq, (cont_params, disc_tree_out), did)."""
+    state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser)
+    x, x_nys, w, params, did = _discrete_pipeline(
+        state, eta, spec, cont_tree, disc_tree, sobol_state, sobol_offset,
+        k_draw, k_update, k_refill, k_nys, n_rec, n_nys, thresh, n_kde,
+        qmc, entry)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch)
+    return state, x_batch, w_rchq, params, did
 
 
 # ----------------------------------------------------------------------------

@@ -249,9 +249,10 @@ class EmpiricalSampler(RecombinationSampler):
         update -> refill redraw -> Nystrom subset traced into a single XLA
         program, eliminating the per-stage host round-trips of the staged
         path below. Returns (x_cand, x_nys, weights) or None when the
-        configuration isn't covered (mesh mode, non-GPState pi, categorical/
-        mixed/dataset domains, exotic continuous priors) — the staged host
-        path then runs unchanged. In the common branch the fused program
+        configuration isn't covered (mesh mode, non-GPState pi, exotic
+        continuous priors; dataset pools go through
+        _fused_dataset_iteration instead) — the staged host path then runs
+        unchanged. In the common branch the fused program
         consumes the same 4 KeyRing keys through the same primitives as the
         host path; outputs match the staged path in distribution (exactly,
         unless ulp-level XLA fusion noise shifts a stochastic resampler —
@@ -394,7 +395,109 @@ class EmpiricalSampler(RecombinationSampler):
                     self.prior = wkde_holder(params, prior.bounds)
                 return tuple(out)
 
+        if self.label in ("categorical", "mixedbinary", "mixedcategorical"):
+            return self._fused_discrete(n_rec, n_nys, head, tail, rc)
+
         return None
+
+    def _fused_discrete(self, n_rec: int, n_nys: int, head, tail, rc):
+        """Categorical / mixed domains through the generic spec-driven
+        programs (fused_sampling.fused_*_discrete). `head`/`tail`/`rc`
+        come from _fused_dispatch and select the fusion level."""
+        from ..priors.wkde import WeightedKernelDensityEstimation
+        from . import fused_sampling as fs
+
+        prior = self.prior
+        label = self.label
+        n_kde = min(4096, n_rec)
+        sob0 = jnp.zeros((), jnp.uint32)
+
+        if label == "categorical":
+            if type(prior) is not CategoricalPrior:
+                return None
+            spec = fs.DomainSpec("categorical", True, 0, prior.n_dims,
+                                 prior.c_max)
+            disc_tree = (prior.weights, prior.valid_mask, prior.value_table)
+            cont_tree, entry = (), "none"
+            sobol_state, sobol_offset, qmc = sob0, 0, False
+            cont_prior = None
+        else:
+            if label == "mixedbinary":
+                if (type(prior) is not MixedBinaryPrior
+                        or type(prior.prior_disc) is not BinaryPrior):
+                    return None
+                disc_tree, c_max = prior.prior_disc.probs, 0
+            else:
+                if (type(prior) is not MixedCategoricalPrior
+                        or type(prior.prior_disc) is not CategoricalPrior):
+                    return None
+                pd = prior.prior_disc
+                disc_tree = (pd.weights, pd.valid_mask, pd.value_table)
+                c_max = pd.c_max
+            cont_prior = prior.prior_cont
+            spec = fs.DomainSpec(label, prior.continous_first,
+                                 prior.n_dims_cont, prior.n_dims_disc,
+                                 c_max)
+            if type(cont_prior) is Uniform:
+                entry, cont_tree = "uniform", cont_prior.bounds
+                sobol_state = cont_prior._sobol
+                sobol_offset, qmc = cont_prior._offset, cont_prior.qmc
+            elif (type(cont_prior) is WeightedKernelDensityEstimation
+                    and cont_prior._params["x_obs"].shape[0] == n_kde):
+                entry = "wkde"
+                cont_tree = (cont_prior._params, cont_prior.bounds)
+                sobol_state, sobol_offset, qmc = sob0, 0, False
+            else:
+                return None
+
+        step = "cfg" in rc
+        fn = (fs.fused_bo_step_discrete if step
+              else fs.fused_iteration_discrete if "batch" in rc
+              else fs.fused_candidates_discrete)
+        k = [self.keys.next() for _ in range(4)]
+        *out, params, did = fn(
+            *head, cont_tree, disc_tree, sobol_state, sobol_offset, *k,
+            *tail, spec=spec, n_rec=n_rec, n_nys=n_nys,
+            thresh=self.thresh_initial, n_kde=n_kde, qmc=qmc, entry=entry,
+            **rc)
+        cont_out, disc_out = params
+
+        def rebuild_disc(dt):
+            if spec.c_max:
+                cats = (prior.categories if label == "categorical"
+                        else prior.prior_disc.categories)
+                new = CategoricalPrior(cats)
+                new.weights = dt[0]
+                return new
+            return BinaryPrior(spec.nd, probs=dt)
+
+        def wkde_holder(params_c):
+            new = object.__new__(WeightedKernelDensityEstimation)
+            new.n_dims = spec.nc
+            new.bounds = cont_prior.bounds
+            new.n_kde = n_kde
+            new._params = params_c
+            return new
+
+        if label == "categorical":
+            # disc_out was old-vs-new selected on device: rebuild always
+            self.prior = rebuild_disc(disc_out)
+        elif entry == "wkde":
+            prior.prior_cont = wkde_holder(cont_out)
+            prior.prior_disc = rebuild_disc(disc_out)
+            if label == "mixedbinary":
+                prior.prior_binary = prior.prior_disc
+        else:
+            # uniform entry: the Uniform -> WKDE family switch needs one
+            # scalar fetch, paid once per run (see the continuous branch)
+            if qmc:
+                cont_prior._offset += n_rec
+            if bool(did):
+                prior.prior_cont = wkde_holder(cont_out)
+                prior.prior_disc = rebuild_disc(disc_out)
+                if label == "mixedbinary":
+                    prior.prior_binary = prior.prior_disc
+        return tuple(out)
 
     def sampling_candidates(self, n_rec: int, n_nys: int,
                             verbose: bool = False):

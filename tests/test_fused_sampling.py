@@ -262,6 +262,103 @@ class TestFusedIteration:
         assert xb.shape == (4, 10)
 
 
+class TestDiscreteMixedFused:
+    """Categorical / mixed domains through the generic spec-driven fused
+    programs."""
+
+    def test_categorical_engages_and_is_valid(self):
+        from sober_tpu.priors.discrete import CategoricalPrior
+
+        cats = [[0.0, 1.0, 2.0], [10.0, 20.0], [-1.0, 0.0, 1.0, 2.0]]
+        prior = CategoricalPrior(cats)
+        rng = np.random.default_rng(0)
+        x0 = prior.sample(jax.random.key(0), 30)
+        y0 = jnp.asarray(rng.normal(size=30), jnp.float32)
+        from sober_tpu.gp.exact import fit_gp
+        sober = Sober(CategoricalPrior(cats), fit_gp(x0, y0), seed=2)
+        w0 = np.asarray(sober.prior.weights).copy()
+        xb = sober.next_batch(1024, 32, 6)
+        assert "fused_iteration" in sober.last_timings
+        assert xb.shape == (6, 3)
+        # every selected value is a legal category of its dimension
+        x = np.asarray(xb)
+        for d, cd in enumerate(cats):
+            assert np.isin(x[:, d], np.asarray(cd, np.float32)).all(), d
+        # proposal advanced (weights no longer the uniform init)
+        assert not np.allclose(np.asarray(sober.prior.weights), w0)
+        assert isinstance(sober.prior, CategoricalPrior)
+
+    def test_categorical_matches_staged_distribution(self, monkeypatch):
+        from sober_tpu.priors.discrete import CategoricalPrior
+        from sober_tpu.gp.exact import fit_gp
+
+        cats = [[0.0, 1.0], [0.0, 1.0, 2.0]]
+        rng = np.random.default_rng(3)
+        x0 = CategoricalPrior(cats).sample(jax.random.key(1), 40)
+        y0 = jnp.asarray(rng.normal(size=40), jnp.float32)
+        state = fit_gp(x0, y0)
+
+        sf = Sober(CategoricalPrior(cats), state, seed=5)
+        xf, nf, wf = sf.sampling_candidates(2048, 64)
+
+        monkeypatch.setattr(EmpiricalSampler, "_fused_discrete",
+                            lambda self, *a: None)
+        sh = Sober(CategoricalPrior(cats), state, seed=5)
+        xh, nh, wh = sh.sampling_candidates(2048, 64)
+
+        for x, w in ((xf, wf), (xh, wh)):
+            w = np.asarray(w)
+            assert np.isclose(w.sum(), 1.0, atol=1e-4) and (w >= 0).all()
+        # updated category masses agree to resampling noise
+        assert np.allclose(np.asarray(sf.prior.probs),
+                           np.asarray(sh.prior.probs), atol=0.1)
+
+    def test_mixedbinary_two_iterations(self):
+        from sober_tpu.priors.discrete import MixedBinaryPrior
+        from sober_tpu.priors.wkde import WeightedKernelDensityEstimation
+        from sober_tpu.gp.exact import fit_gp
+
+        bounds = jnp.stack([-jnp.ones(2), jnp.ones(2)])
+        prior = MixedBinaryPrior(2, 5, bounds)
+        rng = np.random.default_rng(4)
+        x0 = prior.sample(jax.random.key(3), 40)
+        y0 = jnp.asarray(rng.normal(size=40), jnp.float32)
+        sober = Sober(MixedBinaryPrior(2, 5, bounds), fit_gp(x0, y0),
+                      seed=6)
+        xb = sober.next_batch(2048, 64, 8)
+        assert "fused_iteration" in sober.last_timings
+        assert xb.shape == (8, 7)
+        x = np.asarray(xb)
+        assert ((x[:, 2:] == 0) | (x[:, 2:] == 1)).all()
+        assert (np.abs(x[:, :2]) <= 1 + 1e-6).all()
+        # Uniform -> WKDE family switch happened
+        assert isinstance(sober.prior.prior_cont,
+                          WeightedKernelDensityEstimation)
+        xb2 = sober.next_batch(2048, 64, 8)
+        assert bool(jnp.isfinite(xb2).all())
+
+    def test_mixedcategorical_step(self):
+        from sober_tpu.priors.discrete import MixedCategoricalPrior
+        from sober_tpu.gp.exact import fit_gp
+
+        cats = [[0.0, 1.0, 2.0], [5.0, 6.0]]
+        bounds = jnp.stack([-jnp.ones(2), jnp.ones(2)])
+        prior = MixedCategoricalPrior(2, 2, cats, bounds)
+        rng = np.random.default_rng(6)
+        x0 = prior.sample(jax.random.key(4), 30)
+        y0 = jnp.asarray(rng.normal(size=30), jnp.float32)
+        sober = Sober(MixedCategoricalPrior(2, 2, cats, bounds),
+                      fit_gp(x0, y0), seed=8)
+        xb = sober.step(x0, y0, 1024, 32, 6)
+        assert "fused_iteration" in sober.last_timings
+        assert xb.shape == (6, 4)
+        x = np.asarray(xb)
+        for d, cd in enumerate(cats):
+            assert np.isin(x[:, 2 + d], np.asarray(cd, np.float32)).all()
+        # the model was refit in-program
+        assert int(sober.pi.model.mask.sum()) == 30
+
+
 class TestSoberStep:
     """Sober.step: refit + pipeline + recombination as ONE dispatch."""
 
