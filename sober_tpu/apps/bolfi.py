@@ -98,9 +98,21 @@ def _bolfi_beta(sample_size: int, dim: int, exploration_rate: float) -> float:
         t ** (2 * dim + 2) * math.pi**2 / (3.0 / exploration_rate))
 
 
+def _soberucb_apply(tree, x):
+    """Stable callable for the rc protocol (core/rckernel.py): jit caches
+    key on this module-level function, not a per-instance closure."""
+    state, beta = tree
+    mu, var = predict(state, x, include_noise=False)
+    return mu + jnp.sqrt(beta * var)
+
+
 class SOBERUCB:
     """Pointwise UCB with the BOLFI beta schedule, used as calc_obj in the
-    recombination (SOBER/BOLFI/_botorch_acquisition.py:118-129)."""
+    recombination (SOBER/BOLFI/_botorch_acquisition.py:118-129). Carries
+    the rc_apply/rc_tree stable-callable protocol so calc_obj-augmented
+    selection stays on the fused one-program path (core/sober.py)."""
+
+    rc_apply = staticmethod(_soberucb_apply)
 
     def __init__(self, model: GPState, label: str = "UCB",
                  sample_size: int = 1, exploration_rate: float = 10.0):
@@ -108,6 +120,10 @@ class SOBERUCB:
         self.model = model
         self.beta = _bolfi_beta(sample_size, model.x.shape[1],
                                 exploration_rate)
+
+    @property
+    def rc_tree(self):
+        return (self.model, jnp.asarray(self.beta, jnp.float32))
 
     def __call__(self, x) -> jax.Array:
         mu, var = predict(self.model, x, include_noise=False)

@@ -19,7 +19,10 @@ plus `fused_iteration_*` variants (including fused_iteration_dataset for
 dataset pools) that additionally run kernel recombination in the SAME
 program — the whole non-refit `Sober.next_batch` body as one dispatch —
 and `fused_bo_step_*` variants that also fuse the bucket-padded GP MAP
-refit (`Sober.step`): a full BO iteration in a single dispatch.
+refit (`Sober.step`): a full BO iteration in a single dispatch. The
+`fused_iteration_*` family accepts an optional calc_obj stable-callable
+pair (obj_apply/obj_tree, same protocol as the kernel) so acquisition-
+augmented selection (e.g. BOLFI's SOBERUCB) also runs as one program.
 
 Semantics mirror the host path exactly (same branch conditions, same
 refill-round bounds, same uniform-weight fallbacks), and the COMMON path
@@ -247,10 +250,13 @@ def _uniform_pipeline(state: GPState, eta, bounds, sobol_state,
     lo, hi = bounds[0], bounds[1]
     dens = jnp.prod(1.0 / (hi - lo))
 
-    def draw_uniform(k, offset):
-        if qmc:
-            u = sobol_sample(sobol_state, offset, n_rec)
-        else:
+    def draw_uniform(k, u=None):
+        # rare-branch (degenerate first draw) redraws pass u=None and fall
+        # back to pseudo-random uniform: the host path would advance the
+        # Sobol engine a data-dependent number of times, which the host
+        # cannot account for without a device fetch. Only the first draw
+        # (the common path's single Uniform use) is QMC.
+        if u is None:
             u = jax.random.uniform(k, (n_rec, d))
         x = lo[None, :] + (hi - lo)[None, :] * u
         inside = jnp.logical_and(
@@ -259,21 +265,13 @@ def _uniform_pipeline(state: GPState, eta, bounds, sobol_state,
         pdf = jnp.where(inside, dens, 0.0)
         return x, _pi_weights(state, eta, x, pdf)
 
-    def draw_old(k):
-        # rare-branch (degenerate first draw) redraws fall back to
-        # pseudo-random uniform: the host path would advance the Sobol
-        # engine a data-dependent number of times, which the host cannot
-        # account for without a device fetch. Only the first draw (the
-        # common path's single Uniform use) is QMC.
-        u = jax.random.uniform(k, (n_rec, d))
-        x = lo[None, :] + (hi - lo)[None, :] * u
-        inside = jnp.logical_and(
-            jnp.all(x > lo[None, :], axis=1),
-            jnp.all(x < hi[None, :], axis=1))
-        pdf = jnp.where(inside, dens, 0.0)
-        return x, _pi_weights(state, eta, x, pdf)
-
-    x1, w1 = draw_uniform(k_draw, jnp.asarray(sobol_offset, jnp.uint32))
+    draw_old = draw_uniform
+    if qmc:
+        u0 = sobol_sample(sobol_state,
+                          jnp.asarray(sobol_offset, jnp.uint32), n_rec)
+        x1, w1 = draw_uniform(k_draw, u=u0)
+    else:
+        x1, w1 = draw_uniform(k_draw)
     draw_with, update_on = _wkde_machinery(state, eta, bounds, n_rec,
                                            n_kde, d)
     x, w, params, did, take_head = _cont_branches(
@@ -330,21 +328,28 @@ def fused_candidates_cont_wkde(state: GPState, eta, params_old, bounds,
 # candidates + kernel recombination as ONE program (Sober.next_batch)
 # ----------------------------------------------------------------------------
 
-def _recombine(x, x_nys, w, kernel_tree, kernel_apply, batch: int):
+def _recombine(x, x_nys, w, kernel_tree, kernel_apply, batch: int,
+               obj_apply=None, obj_tree=None):
     from .rchq import _recombination_impl
 
+    # obj_apply/obj_tree: the calc_obj stable-callable pair (same protocol
+    # as kernel_apply/kernel_tree) — the augmented objective row + null-
+    # space push then ride the reduce tree exactly as in the staged path
+    # (rchq.recombination with calc_obj)
+    calc_obj = (None if obj_apply is None
+                else (lambda q: obj_apply(obj_tree, q)))
     idx, w_rchq = _recombination_impl(
         x, x_nys, batch, lambda a, b: kernel_apply(kernel_tree, a, b),
-        init_weights=w)
+        init_weights=w, calc_obj=calc_obj)
     return x[idx], w_rchq, idx
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "batch",
-                                   "kernel_apply"))
+                                   "kernel_apply", "obj_apply"))
 def fused_iteration_binary(state: GPState, eta, probs, k_draw, k_update,
                            k_refill, k_nys, kernel_tree, *, n_rec: int,
                            n_nys: int, thresh: int, batch: int,
-                           kernel_apply):
+                           kernel_apply, obj_apply=None, obj_tree=None):
     """_binary_pipeline + kernel recombination, one program.
 
     Returns (x_batch, w_rchq, probs_out)."""
@@ -352,17 +357,19 @@ def fused_iteration_binary(state: GPState, eta, probs, k_draw, k_update,
         state, eta, probs, k_draw, k_update, k_refill, k_nys, n_rec, n_nys,
         thresh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
-                                    batch)
+                                    batch, obj_apply, obj_tree)
     return x_batch, w_rchq, probs_out
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde",
-                                   "qmc", "batch", "kernel_apply"))
+                                   "qmc", "batch", "kernel_apply",
+                                   "obj_apply"))
 def fused_iteration_cont_uniform(state: GPState, eta, bounds, sobol_state,
                                  sobol_offset, k_draw, k_update, k_refill,
                                  k_nys, kernel_tree, *, n_rec: int,
                                  n_nys: int, thresh: int, n_kde: int,
-                                 qmc: bool, batch: int, kernel_apply):
+                                 qmc: bool, batch: int, kernel_apply,
+                                 obj_apply=None, obj_tree=None):
     """_uniform_pipeline + kernel recombination, one program.
 
     Returns (x_batch, w_rchq, wkde_params, did_update)."""
@@ -370,17 +377,17 @@ def fused_iteration_cont_uniform(state: GPState, eta, bounds, sobol_state,
         state, eta, bounds, sobol_state, sobol_offset, k_draw, k_update,
         k_refill, k_nys, n_rec, n_nys, thresh, n_kde, qmc)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
-                                    batch)
+                                    batch, obj_apply, obj_tree)
     return x_batch, w_rchq, params, did
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde",
-                                   "batch", "kernel_apply"))
+                                   "batch", "kernel_apply", "obj_apply"))
 def fused_iteration_cont_wkde(state: GPState, eta, params_old, bounds,
                               k_draw, k_update, k_refill, k_nys,
                               kernel_tree, *, n_rec: int, n_nys: int,
                               thresh: int, n_kde: int, batch: int,
-                              kernel_apply):
+                              kernel_apply, obj_apply=None, obj_tree=None):
     """_wkde_pipeline + kernel recombination, one program.
 
     Returns (x_batch, w_rchq, params_out)."""
@@ -388,16 +395,16 @@ def fused_iteration_cont_wkde(state: GPState, eta, params_old, bounds,
         state, eta, params_old, bounds, k_draw, k_update, k_refill, k_nys,
         n_rec, n_nys, thresh, n_kde)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
-                                    batch)
+                                    batch, obj_apply, obj_tree)
     return x_batch, w_rchq, params_out
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "batch",
-                                   "prune", "kernel_apply"))
+                                   "prune", "kernel_apply", "obj_apply"))
 def fused_iteration_dataset(state: GPState, eta, x_all, avail_mask, k_nys,
                             kernel_tree, *, n_rec: int, n_nys: int,
                             thresh: float, batch: int, prune: bool,
-                            kernel_apply):
+                            kernel_apply, obj_apply=None, obj_tree=None):
     """Dataset domain: pi over the whole pool -> adaptive top-k pruning ->
     Nystrom subset -> kernel recombination, one program (the staged path:
     EmpiricalSampler.sampling_datasets + sampling_recombination).
@@ -407,7 +414,8 @@ def fused_iteration_dataset(state: GPState, eta, x_all, avail_mask, k_nys,
     idx_sampled, x_cand, x_nys, w = _dataset_pipeline(
         state, eta, x_all, avail_mask, k_nys, n_rec, n_nys, thresh, prune)
     x_batch, w_rchq, idx_local = _recombine(x_cand, x_nys, w, kernel_tree,
-                                            kernel_apply, batch)
+                                            kernel_apply, batch,
+                                            obj_apply, obj_tree)
     return idx_sampled[idx_local], x_batch, w_rchq
 
 
@@ -636,13 +644,14 @@ def fused_candidates_discrete(state: GPState, eta, cont_tree, disc_tree,
 
 @partial(jax.jit, static_argnames=("spec", "n_rec", "n_nys", "thresh",
                                    "n_kde", "qmc", "entry", "batch",
-                                   "kernel_apply"))
+                                   "kernel_apply", "obj_apply"))
 def fused_iteration_discrete(state: GPState, eta, cont_tree, disc_tree,
                              sobol_state, sobol_offset, k_draw, k_update,
                              k_refill, k_nys, kernel_tree, *,
                              spec: DomainSpec, n_rec: int, n_nys: int,
                              thresh: int, n_kde: int, qmc: bool, entry: str,
-                             batch: int, kernel_apply):
+                             batch: int, kernel_apply, obj_apply=None,
+                             obj_tree=None):
     """_discrete_pipeline + kernel recombination, one program.
 
     Returns (x_batch, w_rchq, (cont_params, disc_tree_out), did)."""
@@ -651,7 +660,7 @@ def fused_iteration_discrete(state: GPState, eta, cont_tree, disc_tree,
         k_draw, k_update, k_refill, k_nys, n_rec, n_nys, thresh, n_kde,
         qmc, entry)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
-                                    batch)
+                                    batch, obj_apply, obj_tree)
     return x_batch, w_rchq, params, did
 
 

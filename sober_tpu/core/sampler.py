@@ -43,6 +43,11 @@ from .prior_update import (
     update_continuous_prior,
     update_mixed_prior,
 )
+
+# dataset-domain pruning threshold (SOBER/_sampler.py:325-349): shared by
+# the staged path (adaptive_pruning) and the fused dataset programs so both
+# prune identically
+PRUNE_THRESH = 1e-3
 from .rchq import recombination
 
 
@@ -259,15 +264,18 @@ class EmpiricalSampler(RecombinationSampler):
         see core/fused_sampling.py)."""
         return self._fused_dispatch(n_rec, n_nys, batch=None)
 
-    def _fused_iteration(self, n_rec: int, n_nys: int, batch: int):
+    def _fused_iteration(self, n_rec: int, n_nys: int, batch: int,
+                         obj=None):
         """Candidates + kernel recombination as ONE program (the whole
         non-dataset `Sober.next_batch` body minus the model refit). Returns
         (x_batch, w_rchq) or None when the fused path doesn't cover the
         configuration (see _fused_candidates) or the kernel lacks the
-        rc_apply/rc_tree stable-callable protocol."""
+        rc_apply/rc_tree stable-callable protocol. `obj` is an optional
+        (rc_apply, rc_tree) pair of a calc_obj acquisition — the augmented
+        objective row then joins the fused program too."""
         if not hasattr(self.kernel, "rc_apply"):
             return None
-        return self._fused_dispatch(n_rec, n_nys, batch=batch)
+        return self._fused_dispatch(n_rec, n_nys, batch=batch, obj=obj)
 
     def _fused_step(self, fit, n_rec: int, n_nys: int, batch: int,
                     prune: bool = True):
@@ -283,7 +291,7 @@ class EmpiricalSampler(RecombinationSampler):
         return self._fused_dispatch(n_rec, n_nys, batch, fit=fit)
 
     def _fused_dataset_iteration(self, n_rec: int, n_nys: int, batch: int,
-                                 prune: bool, fit=None):
+                                 prune: bool, fit=None, obj=None):
         """Dataset-domain analogue of _fused_iteration: pi sweep + pruning
         + Nystrom subset + recombination as one program (plus the GP refit
         when `fit` is given). Returns (idx_global, x_batch, w_rchq) —
@@ -304,15 +312,19 @@ class EmpiricalSampler(RecombinationSampler):
 
         pool = (self.prior.available_candidates(),
                 self.prior.available_mask(), self.keys.next())
-        common = dict(n_rec=n_rec, n_nys=n_nys, thresh=1e-3, batch=batch,
-                      prune=prune, kernel_apply=self.kernel.rc_apply)
+        common = dict(n_rec=n_rec, n_nys=n_nys, thresh=PRUNE_THRESH,
+                      batch=batch, prune=prune,
+                      kernel_apply=self.kernel.rc_apply)
         if fit is not None:
             return fs.fused_bo_step_dataset(
                 *fit[:3], *pool, cfg=fit[3], optimiser=fit[4], **common)
+        if obj is not None:
+            common.update(obj_apply=obj[0], obj_tree=obj[1])
         return fs.fused_iteration_dataset(
             state, self.pi.eta, *pool, self.kernel.rc_tree, **common)
 
-    def _fused_dispatch(self, n_rec: int, n_nys: int, batch, fit=None):
+    def _fused_dispatch(self, n_rec: int, n_nys: int, batch, fit=None,
+                        obj=None):
         from ..gp.exact import GPState
         from .pi import PI
 
@@ -335,6 +347,11 @@ class EmpiricalSampler(RecombinationSampler):
         else:
             head = (state, self.pi.eta)
             tail = () if batch is None else (self.kernel.rc_tree,)
+            if obj is not None and batch is not None:
+                # calc_obj as a stable-callable pair: the augmented
+                # objective row rides the fused recombination (step mode
+                # excluded — its obj tree would be stale pre-refit)
+                rc.update(obj_apply=obj[0], obj_tree=obj[1])
 
         if self.label == "binary" and type(self.prior) is BinaryPrior:
             from . import fused_sampling as fs
@@ -388,7 +405,9 @@ class EmpiricalSampler(RecombinationSampler):
                     prior._offset, *k, *tail, n_rec=n_rec, n_nys=n_nys,
                     thresh=self.thresh_initial, n_kde=n_kde, qmc=prior.qmc,
                     **rc)
-                prior._offset += n_rec  # the common path's one Sobol draw
+                if prior.qmc:
+                    # the common path's one Sobol draw
+                    prior._offset += n_rec
                 # the Uniform -> WKDE switch needs one scalar fetch; it
                 # happens once per run (the proposal is a WKDE afterwards)
                 if bool(did):
@@ -535,7 +554,7 @@ class EmpiricalSampler(RecombinationSampler):
     # -- dataset domains -----------------------------------------------------
 
     def adaptive_pruning(self, weights, n_rec: int, n_nys: int,
-                         thresh: float = 1e-3):
+                         thresh: float = PRUNE_THRESH):
         """Static top-k pruning (SOBER/_sampler.py:325-349): keep the top
         n_rec candidates by weight; of those, rows below `thresh` are kept
         only down to the n_nys floor."""

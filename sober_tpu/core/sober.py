@@ -174,15 +174,24 @@ class Sober(EmpiricalSampler):
         """
         t0 = time.monotonic()
         idx_sampled = None
+        # calc_obj with the rc_apply/rc_tree stable-callable protocol (e.g.
+        # SOBERUCB, FBGPAcquisitionFunction) keeps the fused fast path —
+        # the augmented objective row joins the one-program recombination;
+        # a bare callable falls back to the staged path
+        obj = ((calc_obj.rc_apply, calc_obj.rc_tree)
+               if calc_obj is not None and hasattr(calc_obj, "rc_apply")
+               else None)
+        fusable = calc_obj is None or obj is not None
         if self.label != "dataset":
             if self.should_reset_prior(batch_size, recycle_prior):
                 if verbose:
                     print("The prior was initialised.")
                 self.initialise_prior()
-            if not verbose and calc_obj is None:
+            if not verbose and fusable:
                 # candidates + recombination as ONE XLA program (verbose
                 # wants per-stage prints, so it keeps the staged path)
-                fused = self._fused_iteration(n_rec, n_nys, batch_size)
+                fused = self._fused_iteration(n_rec, n_nys, batch_size,
+                                              obj=obj)
                 if fused is not None:
                     x_batch, w_rchq = fused
                     return self._finish_batch(x_batch, w_rchq, t0,
@@ -191,9 +200,9 @@ class Sober(EmpiricalSampler):
             x_cand, x_nys, weights = self.sampling_candidates(
                 n_rec, n_nys, verbose=verbose)
         else:
-            if not verbose and calc_obj is None:
+            if not verbose and fusable:
                 fused = self._fused_dataset_iteration(
-                    n_rec, n_nys, batch_size, self.dataset_pruning)
+                    n_rec, n_nys, batch_size, self.dataset_pruning, obj=obj)
                 if fused is not None:
                     idx_global, x_batch, w_rchq = fused
                     return self._finish_batch(x_batch, w_rchq, t0,
@@ -215,11 +224,7 @@ class Sober(EmpiricalSampler):
         idx_rchq, w_rchq = self.sampling_recombination(
             x_cand, x_nys, weights, batch_size, calc_obj=calc_obj)
         x_batch = x_cand[idx_rchq]
-        if (polish and calc_obj is None and not return_weights
-                and self.label == "continuous"
-                and not (self.fbgp or self.is_bq)
-                and isinstance(self.pi.model, GPState)
-                and getattr(self.prior, "bounds", None) is not None):
+        if self._polish_eligible(polish, calc_obj, return_weights):
             x_batch = self._exploit_polish(x_batch)
         t2 = time.monotonic()
         self.last_timings = {
@@ -252,14 +257,27 @@ class Sober(EmpiricalSampler):
             sober.next_batch(n_rec, n_nys, batch_size, ...)
 
         and falls back to exactly that staged sequence when the fused path
-        doesn't cover the configuration (mesh mode, categorical/mixed
-        domains, FBGP/BQ models, kernels without the rc protocol). The
-        learned proposal, prior-reset heuristic, and dataset pruning all
-        stay active. No reference analogue: the reference's iteration is
-        inherently multi-stage host code (SOBER/_sober.py:125-195 plus the
-        per-iteration GPyTorch refit)."""
+        doesn't cover the configuration (mesh mode, exotic priors, kernels
+        without the rc protocol; categorical/mixed/dataset domains ARE
+        covered via fused_bo_step_discrete/_dataset). The learned proposal,
+        prior-reset heuristic, and dataset pruning all stay active.
+
+        FBGP/BQ models are rejected with a TypeError: `step` refits a plain
+        exact GP, which would silently discard the fully-Bayesian (or
+        warped-BQ) marginalization — refit those families explicitly
+        (gp.fbgp.fbgp_refit / ScaleMmltGP) and call update_model +
+        next_batch instead. No reference analogue: the reference's
+        iteration is inherently multi-stage host code
+        (SOBER/_sober.py:125-195 plus the per-iteration GPyTorch refit)."""
         from ..gp.exact import GPConfig, fit_gp_padded, pad_observations
 
+        if self.fbgp or self.is_bq:
+            raise TypeError(
+                "Sober.step refits a plain exact GP and would silently "
+                "replace this sampler's FBGP/BQ model (dropping the "
+                "fully-Bayesian / warped-BQ marginalization). Refit the "
+                "model explicitly (e.g. gp.fbgp.fbgp_refit) and call "
+                "update_model + next_batch instead.")
         t0 = time.monotonic()
         if cfg is None:
             cfg = GPConfig()
@@ -267,13 +285,11 @@ class Sober(EmpiricalSampler):
                 batch_size, recycle_prior, targets=np.asarray(y_obs)):
             self.initialise_prior()
 
-        fused = None
-        if not (self.fbgp or self.is_bq):
-            x_pad, y_pad, mask = pad_observations(
-                jnp.asarray(x_obs), jnp.asarray(y_obs), bucket)
-            fused = self._fused_step(
-                (x_pad, y_pad, mask, cfg, optimiser), n_rec, n_nys,
-                batch_size, prune=self.dataset_pruning)
+        x_pad, y_pad, mask = pad_observations(
+            jnp.asarray(x_obs), jnp.asarray(y_obs), bucket)
+        fused = self._fused_step(
+            (x_pad, y_pad, mask, cfg, optimiser), n_rec, n_nys,
+            batch_size, prune=self.dataset_pruning)
         if fused is None:
             model = fit_gp_padded(x_obs, y_obs, cfg, optimiser=optimiser,
                                   bucket=bucket)
@@ -296,11 +312,7 @@ class Sober(EmpiricalSampler):
                       polish: bool, calc_obj, idx_global=None):
         """Shared tail of next_batch for the fused-iteration fast paths:
         exploit polish, timings, return value."""
-        if (polish and calc_obj is None and not return_weights
-                and self.label == "continuous"
-                and not (self.fbgp or self.is_bq)
-                and isinstance(self.pi.model, GPState)
-                and getattr(self.prior, "bounds", None) is not None):
+        if self._polish_eligible(polish, calc_obj, return_weights):
             x_batch = self._exploit_polish(x_batch)
         total = time.monotonic() - t0
         # candidates + recombination ran as one program — no split exists
@@ -310,6 +322,16 @@ class Sober(EmpiricalSampler):
         if idx_global is not None:
             return idx_global, x_batch
         return x_batch
+
+    def _polish_eligible(self, polish: bool, calc_obj,
+                         return_weights: bool) -> bool:
+        """Single source of truth for the exploit-polish guard (see the
+        `polish` arg of next_batch for the rationale of each condition)."""
+        return (polish and calc_obj is None and not return_weights
+                and self.label == "continuous"
+                and not (self.fbgp or self.is_bq)
+                and isinstance(self.pi.model, GPState)
+                and getattr(self.prior, "bounds", None) is not None)
 
     def _exploit_polish(self, x_batch: jax.Array) -> jax.Array:
         """Replace the lowest-weight batch point with the best of 8

@@ -125,10 +125,15 @@ def multivariate_normal_cdf(value: jax.Array, loc: jax.Array,
     batch element then gets its own Genz evaluation (vmapped on-device
     instead of the reference's joblib process fan-out)."""
     cov = jnp.asarray(covariance_matrix)
+    # two-sided value/loc broadcasting (torch-distributions convention):
+    # loc may carry batch dims that value lacks and vice versa
+    value = jnp.atleast_1d(value)
+    loc = jnp.atleast_1d(loc)
+    shape = jnp.broadcast_shapes(value.shape, loc.shape)
+    value = jnp.broadcast_to(value, shape)
+    loc = jnp.broadcast_to(loc, shape)
     if cov.ndim <= 2:
         return _mvn_cdf_shared_cov(value, loc, cov, n_qmc)
-    value = jnp.atleast_1d(value)
-    loc = jnp.broadcast_to(jnp.atleast_1d(loc), value.shape)
     d = cov.shape[-1]
     batch = jnp.broadcast_shapes(value.shape[:-1], cov.shape[:-2])
     value = jnp.broadcast_to(value, batch + (d,)).reshape(-1, d)

@@ -292,3 +292,7 @@ class TestFBGP:
         af = FBGPAcquisitionFunction(fbgp, "UCB")
         xb2 = sober.next_batch(512, 64, 8, calc_obj=af)
         assert xb2.shape == (8, 1)
+        # Sober.step would refit a plain exact GP, silently dropping the
+        # fully-Bayesian marginalization — it must refuse FBGP models
+        with pytest.raises(TypeError, match="exact GP"):
+            sober.step(self.gp.model.x, self.gp.Y_unwarp, 512, 64, 8)

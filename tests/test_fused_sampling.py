@@ -166,7 +166,8 @@ class TestFusedIteration:
         orig = EmpiricalSampler._fused_iteration
         monkeypatch.setattr(
             EmpiricalSampler, "_fused_iteration",
-            lambda self, a, b, c: calls.append(1) or orig(self, a, b, c))
+            lambda self, a, b, c, obj=None: calls.append(1)
+            or orig(self, a, b, c, obj=obj))
         w, xb = sober.next_batch(2048, 64, 8, return_weights=True)
         assert calls, "fused iteration path did not engage"
         assert "fused_iteration" in sober.last_timings
@@ -190,7 +191,7 @@ class TestFusedIteration:
         wf, xbf = sf.next_batch(1024, 32, 8, return_weights=True)
 
         monkeypatch.setattr(EmpiricalSampler, "_fused_iteration",
-                            lambda self, a, b, c: None)
+                            lambda self, *a, **k: None)
         _host_only(monkeypatch)
         sh = Sober(BinaryPrior(10), state, seed=13)
         wh, xbh = sh.next_batch(1024, 32, 8, return_weights=True)
@@ -241,7 +242,7 @@ class TestFusedIteration:
                               np.asarray(feats)[idx_f])
 
         monkeypatch.setattr(EmpiricalSampler, "_fused_dataset_iteration",
-                            lambda self, a, b, c, d: None)
+                            lambda self, *a, **k: None)
         sh = Sober(DatasetPrior(feats, targets), state, seed=3)
         idx_h, xb_h = sh.next_batch(128, 48, 8)
         assert xb_h.shape == (8, 16)
@@ -249,17 +250,75 @@ class TestFusedIteration:
         overlap = len(set(idx_f.tolist()) & set(np.asarray(idx_h).tolist()))
         assert overlap >= 4, (idx_f, idx_h)
 
-    def test_staged_fallback_for_calc_obj_and_verbose(self, monkeypatch):
-        """calc_obj-augmented and verbose calls must keep the staged path."""
+    def test_staged_fallback_for_bare_calc_obj_and_verbose(self,
+                                                           monkeypatch):
+        """verbose calls and bare-callable calc_obj (no rc protocol) must
+        keep the staged path; an rc-protocol calc_obj goes fused (see
+        TestFusedCalcObj)."""
         state = _gp_binary(seed=4)
         sober = Sober(BinaryPrior(10), state, seed=5)
 
-        def boom(self, a, b, c):
+        def boom(self, *a, **k):
             raise AssertionError("fused iteration must not run")
 
         monkeypatch.setattr(EmpiricalSampler, "_fused_iteration", boom)
         xb = sober.next_batch(512, 32, 4, verbose=True)
         assert xb.shape == (4, 10)
+        xb2 = sober.next_batch(512, 32, 4,
+                               calc_obj=lambda x: jnp.sum(x, axis=-1))
+        assert xb2.shape == (4, 10)
+
+
+class TestFusedCalcObj:
+    """calc_obj acquisitions with the rc protocol ride the fused program."""
+
+    def test_soberucb_engages_fused_and_matches_staged(self, monkeypatch):
+        from sober_tpu.apps.bolfi import SOBERUCB
+
+        state = _gp_binary(seed=6)
+        af = SOBERUCB(state)
+        sf = Sober(BinaryPrior(10), state, seed=17)
+        xbf = sf.next_batch(1024, 32, 8, calc_obj=af)
+        assert "fused_iteration" in sf.last_timings
+        assert xbf.shape == (8, 10)
+
+        # the obj row is active in-program: with an identical seed/key
+        # stream the augmented selection must differ from the unaugmented
+        # one (the extra constraint row + null-space push change the
+        # Caratheodory eliminations)
+        s0 = Sober(BinaryPrior(10), state, seed=17)
+        xb0 = s0.next_batch(1024, 32, 8)
+        assert "fused_iteration" in s0.last_timings
+        assert not np.array_equal(np.asarray(xbf), np.asarray(xb0))
+
+        monkeypatch.setattr(EmpiricalSampler, "_fused_iteration",
+                            lambda self, *a, **k: None)
+        sh = Sober(BinaryPrior(10), state, seed=17)
+        xbh = sh.next_batch(1024, 32, 8, calc_obj=af)
+        assert xbh.shape == (8, 10)
+        # same seed, same keys, same augmented recombination: the learned
+        # proposals agree to resampling noise
+        assert np.allclose(np.asarray(sf.prior.probs),
+                           np.asarray(sh.prior.probs), atol=0.15)
+
+    def test_dataset_calc_obj_fused(self):
+        from sober_tpu.apps.bolfi import SOBERUCB
+        from sober_tpu.priors.dataset import DatasetPrior
+        from sober_tpu.gp.exact import fit_gp
+
+        rng = np.random.default_rng(9)
+        feats = jnp.asarray(rng.integers(0, 2, (300, 16)), jnp.float32)
+        targets = jnp.asarray(rng.normal(size=300), jnp.float32)
+        ds = DatasetPrior(feats, targets)
+        x0, y0 = ds.sample(jax.random.key(2), 24)
+        state = fit_gp(x0, y0)
+        sober = Sober(DatasetPrior(feats, targets), state, seed=4)
+        idx, xb = sober.next_batch(128, 48, 8, calc_obj=SOBERUCB(state))
+        assert "fused_iteration" in sober.last_timings
+        assert xb.shape == (8, 16)
+        idx = np.asarray(idx)
+        assert ((idx >= 0) & (idx < 300)).all()
+        assert np.array_equal(np.asarray(xb), np.asarray(feats)[idx])
 
 
 class TestDiscreteMixedFused:
