@@ -672,11 +672,11 @@ def fused_bo_step_discrete(x_pad, y_pad, mask, cont_tree, disc_tree,
                            k_refill, k_nys, *, cfg, optimiser: str,
                            spec: DomainSpec, n_rec: int, n_nys: int,
                            thresh: int, n_kde: int, qmc: bool, entry: str,
-                           batch: int, kernel_apply):
+                           batch: int, kernel_apply, params0=None):
     """Refit + _discrete_pipeline + recombination, one program.
 
     Returns (state, x_batch, w_rchq, (cont_params, disc_tree_out), did)."""
-    state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser)
+    state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser, params0)
     x, x_nys, w, params, did = _discrete_pipeline(
         state, eta, spec, cont_tree, disc_tree, sobol_state, sobol_offset,
         k_draw, k_update, k_refill, k_nys, n_rec, n_nys, thresh, n_kde,
@@ -696,10 +696,11 @@ def fused_bo_step_discrete(x_pad, y_pad, mask, cont_tree, disc_tree,
 # once. The fitted state is returned so the host can rebuild its pi and
 # kernel adapters with zero fetches.
 
-def _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser):
+def _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser, params0=None):
     from ..gp.exact import fit_gp_traced, posterior_max_mean
 
-    state = fit_gp_traced(x_pad, y_pad, mask, cfg, optimiser)
+    state = fit_gp_traced(x_pad, y_pad, mask, cfg, optimiser,
+                          params0=params0)
     return state, posterior_max_mean(state)
 
 
@@ -708,11 +709,11 @@ def _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser):
 def fused_bo_step_binary(x_pad, y_pad, mask, probs, k_draw, k_update,
                          k_refill, k_nys, *, cfg, optimiser: str,
                          n_rec: int, n_nys: int, thresh: int, batch: int,
-                         kernel_apply):
+                         kernel_apply, params0=None):
     """Refit + _binary_pipeline + recombination, one program.
 
     Returns (state, x_batch, w_rchq, probs_out)."""
-    state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser)
+    state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser, params0)
     x, x_nys, w, probs_out = _binary_pipeline(
         state, eta, probs, k_draw, k_update, k_refill, k_nys, n_rec, n_nys,
         thresh)
@@ -727,11 +728,12 @@ def fused_bo_step_cont_uniform(x_pad, y_pad, mask, bounds, sobol_state,
                                sobol_offset, k_draw, k_update, k_refill,
                                k_nys, *, cfg, optimiser: str, n_rec: int,
                                n_nys: int, thresh: int, n_kde: int,
-                               qmc: bool, batch: int, kernel_apply):
+                               qmc: bool, batch: int, kernel_apply,
+                               params0=None):
     """Refit + _uniform_pipeline + recombination, one program.
 
     Returns (state, x_batch, w_rchq, wkde_params, did_update)."""
-    state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser)
+    state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser, params0)
     x, x_nys, w, params, did = _uniform_pipeline(
         state, eta, bounds, sobol_state, sobol_offset, k_draw, k_update,
         k_refill, k_nys, n_rec, n_nys, thresh, n_kde, qmc)
@@ -746,11 +748,11 @@ def fused_bo_step_cont_wkde(x_pad, y_pad, mask, params_old, bounds, k_draw,
                             k_update, k_refill, k_nys, *, cfg,
                             optimiser: str, n_rec: int, n_nys: int,
                             thresh: int, n_kde: int, batch: int,
-                            kernel_apply):
+                            kernel_apply, params0=None):
     """Refit + _wkde_pipeline + recombination, one program.
 
     Returns (state, x_batch, w_rchq, params_out)."""
-    state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser)
+    state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser, params0)
     x, x_nys, w, params_out = _wkde_pipeline(
         state, eta, params_old, bounds, k_draw, k_update, k_refill, k_nys,
         n_rec, n_nys, thresh, n_kde)
@@ -764,11 +766,11 @@ def fused_bo_step_cont_wkde(x_pad, y_pad, mask, params_old, bounds, k_draw,
 def fused_bo_step_dataset(x_pad, y_pad, mask, x_all, avail_mask, k_nys, *,
                           cfg, optimiser: str, n_rec: int, n_nys: int,
                           thresh: float, batch: int, prune: bool,
-                          kernel_apply):
+                          kernel_apply, params0=None):
     """Refit + dataset pi sweep + pruning + recombination, one program.
 
     Returns (state, idx_global, x_batch, w_rchq)."""
-    state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser)
+    state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser, params0)
     idx_sampled, x_cand, x_nys, w = _dataset_pipeline(
         state, eta, x_all, avail_mask, k_nys, n_rec, n_nys, thresh, prune)
     x_batch, w_rchq, idx_local = _recombine(x_cand, x_nys, w, state,

@@ -280,7 +280,8 @@ class EmpiricalSampler(RecombinationSampler):
     def _fused_step(self, fit, n_rec: int, n_nys: int, batch: int,
                     prune: bool = True):
         """GP refit + candidates + recombination as ONE program (the whole
-        `Sober.step` body). `fit` = (x_pad, y_pad, mask, cfg, optimiser).
+        `Sober.step` body). `fit` = (x_pad, y_pad, mask, cfg, optimiser,
+        params0) with params0 an optional warm-start GPParams (or None).
         Returns (state, x_batch, w_rchq) — or (state, idx_global, x_batch,
         w_rchq) for dataset pools — or None when not covered."""
         if not hasattr(self.kernel, "rc_apply"):
@@ -317,7 +318,8 @@ class EmpiricalSampler(RecombinationSampler):
                       kernel_apply=self.kernel.rc_apply)
         if fit is not None:
             return fs.fused_bo_step_dataset(
-                *fit[:3], *pool, cfg=fit[3], optimiser=fit[4], **common)
+                *fit[:3], *pool, cfg=fit[3], optimiser=fit[4],
+                params0=fit[5], **common)
         if obj is not None:
             common.update(obj_apply=obj[0], obj_tree=obj[1])
         return fs.fused_iteration_dataset(
@@ -343,7 +345,7 @@ class EmpiricalSampler(RecombinationSampler):
             kernel_apply=self.kernel.rc_apply, batch=batch)
         if step:
             head, tail = tuple(fit[:3]), ()
-            rc.update(cfg=fit[3], optimiser=fit[4])
+            rc.update(cfg=fit[3], optimiser=fit[4], params0=fit[5])
         else:
             head = (state, self.pi.eta)
             tail = () if batch is None else (self.kernel.rc_tree,)

@@ -245,7 +245,7 @@ class Sober(EmpiricalSampler):
     def step(self, x_obs, y_obs, n_rec: int, n_nys: int, batch_size: int,
              cfg=None, optimiser: str = "adam", bucket: int = 128,
              recycle_prior: bool = True, return_weights: bool = False,
-             polish: bool = False):
+             polish: bool = False, warm_start: bool = False):
         """One-program BO iteration: bucket-padded GP MAP refit + the full
         acquisition pipeline (candidate draw / dataset pi sweep, learned-
         proposal update, Nystrom selection, kernel recombination) traced
@@ -266,9 +266,20 @@ class Sober(EmpiricalSampler):
         exact GP, which would silently discard the fully-Bayesian (or
         warped-BQ) marginalization — refit those families explicitly
         (gp.fbgp.fbgp_refit / ScaleMmltGP) and call update_model +
-        next_batch instead. No reference analogue: the reference's
-        iteration is inherently multi-stage host code
-        (SOBER/_sober.py:125-195 plus the per-iteration GPyTorch refit)."""
+        next_batch instead.
+
+        warm_start: initialise the in-program MAP refit from the current
+        model's hypers (gp.exact.raw_params_from_state) — with the plateau
+        early-stop the refit then converges in a few live steps. Opt-in:
+        carrying hypers across refits is only sound when successive fits
+        target the same objective on growing data (a plain BO loop); it
+        demonstrably hurts EP-style re-targeted refits (apps/wrapper.py
+        set_rbf_model). Falls back to a cold start when the current model's
+        parameter shapes don't match `cfg` (e.g. isotropic state, ARD cfg).
+
+        No reference analogue: the reference's iteration is inherently
+        multi-stage host code (SOBER/_sober.py:125-195 plus the
+        per-iteration GPyTorch refit)."""
         from ..gp.exact import GPConfig, fit_gp_padded, pad_observations
 
         if self.fbgp or self.is_bq:
@@ -285,14 +296,16 @@ class Sober(EmpiricalSampler):
                 batch_size, recycle_prior, targets=np.asarray(y_obs)):
             self.initialise_prior()
 
+        params0 = self._warm_start_params(cfg, jnp.asarray(x_obs).shape[1]) \
+            if warm_start else None
         x_pad, y_pad, mask = pad_observations(
             jnp.asarray(x_obs), jnp.asarray(y_obs), bucket)
         fused = self._fused_step(
-            (x_pad, y_pad, mask, cfg, optimiser), n_rec, n_nys,
+            (x_pad, y_pad, mask, cfg, optimiser, params0), n_rec, n_nys,
             batch_size, prune=self.dataset_pruning)
         if fused is None:
             model = fit_gp_padded(x_obs, y_obs, cfg, optimiser=optimiser,
-                                  bucket=bucket)
+                                  bucket=bucket, params0=params0)
             self.update_model(model)
             return self.next_batch(n_rec, n_nys, batch_size,
                                    return_weights=return_weights,
@@ -322,6 +335,28 @@ class Sober(EmpiricalSampler):
         if idx_global is not None:
             return idx_global, x_batch
         return x_batch
+
+    def _warm_start_params(self, cfg, n_dims: int):
+        """Recover warm-start GPParams from the current model, or None when
+        the model isn't a plain GPState or its parameter pytree doesn't
+        match what `cfg` would initialise (shape mismatch would break the
+        traced refit, e.g. isotropic state under an ARD cfg)."""
+        from ..gp.exact import init_params, raw_params_from_state
+
+        state = self.pi.model
+        if not isinstance(state, GPState):
+            return None
+        try:
+            cand = raw_params_from_state(state)
+        except (KeyError, TypeError, AttributeError):
+            return None
+        ref = init_params(cfg, n_dims)
+        if jax.tree.structure(cand) != jax.tree.structure(ref):
+            return None
+        if any(jnp.shape(a) != jnp.shape(b) for a, b in
+               zip(jax.tree.leaves(cand), jax.tree.leaves(ref))):
+            return None
+        return cand
 
     def _polish_eligible(self, polish: bool, calc_obj,
                          return_weights: bool) -> bool:

@@ -443,6 +443,31 @@ class TestSoberStep:
         # proposal advanced
         assert not np.allclose(np.asarray(sober.prior.probs), 0.5)
 
+    def test_warm_start_step(self):
+        from sober_tpu.gp.exact import GPConfig, fit_gp
+
+        rng = np.random.default_rng(11)
+        x0 = jnp.asarray(rng.uniform(-1, 1, (30, 2)), jnp.float32)
+        y0 = jnp.sin(3 * x0[:, 0]) * jnp.cos(2 * x0[:, 1])
+        bounds = jnp.stack([-jnp.ones(2), jnp.ones(2)])
+        sober = Sober(Uniform(bounds), fit_gp(x0, y0), seed=23)
+        # warm-start params recovered from the fitted state
+        p0 = sober._warm_start_params(GPConfig(), 2)
+        assert p0 is not None
+        # shape-mismatched cfg (ARD) falls back to cold start
+        assert sober._warm_start_params(GPConfig(ard=True), 2) is None
+        xb = sober.step(x0, y0, 1024, 32, 8, warm_start=True)
+        assert "fused_iteration" in sober.last_timings
+        assert xb.shape == (8, 2)
+        assert bool(jnp.isfinite(xb).all())
+        # the in-program refit really happened on the padded buffer
+        assert int(sober.pi.model.mask.sum()) == 30
+        # second warm iteration: warm params now come from the step refit
+        x1 = jnp.concatenate([x0, xb])
+        y1 = jnp.sin(3 * x1[:, 0]) * jnp.cos(2 * x1[:, 1])
+        xb2 = sober.step(x1, y1, 1024, 32, 8, warm_start=True)
+        assert bool(jnp.isfinite(xb2).all())
+
     def test_continuous_step_two_iterations(self):
         from sober_tpu.gp.exact import fit_gp
         from sober_tpu.priors.wkde import WeightedKernelDensityEstimation
