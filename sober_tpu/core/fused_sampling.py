@@ -53,7 +53,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..gp.exact import GPState
 from ..priors.wkde import _wkde_fit, _wkde_pdf, _wkde_sample
 from ..utils.sobol import sobol_sample
 from ..utils.weights import (
@@ -63,13 +62,23 @@ from ..utils.weights import (
     weighted_resampling,
 )
 from ..ops.kmeans import kmeans
-from .pi import lfi
+from .pi import lfi_apply
 from .prior_update import bernoulli_mle
 
+# The pipelines are generic over the pi measure through the pi
+# stable-callable protocol: `pi` is an (apply, tree) pair with
+# `apply(tree, x) -> pi values`, `apply` a module-level function (hashable,
+# stable across refits -> one cached jit program per pi family) and `tree`
+# a pytree of traced arrays. core/pi.py:lfi_apply covers exact-GP
+# surrogates, gp/fbgp.py:fbgp_pi_apply the fully-Bayesian family,
+# gp/warped.py:bq_pi_apply the warped-BQ family — so FBGP and BASQ loops
+# get the same one-dispatch iterations as plain BO.
 
-def _pi_weights(state: GPState, eta, x, pdf):
+
+def _pi_weights(pi, x, pdf):
     """w = cleanse(pi(x) / pdf(x)) — EmpiricalSampler.sampling's body."""
-    w = lfi(state, eta, x) / jnp.maximum(pdf, 1e-38)
+    pi_apply, pi_tree = pi
+    w = pi_apply(pi_tree, x) / jnp.maximum(pdf, 1e-38)
     return cleansing_weights(w)
 
 
@@ -99,7 +108,7 @@ def _refill(key, draw_w, x0, w0, need, bound):
     return x, w, none
 
 
-def _binary_pipeline(state: GPState, eta, probs, k_draw, k_update,
+def _binary_pipeline(pi, probs, k_draw, k_update,
                      k_refill, k_nys, n_rec: int, n_nys: int, thresh: int):
     """Binary domain: Bernoulli proposal with closed-form MLE update.
 
@@ -116,7 +125,7 @@ def _binary_pipeline(state: GPState, eta, probs, k_draw, k_update,
             pc = jnp.clip(p, 1e-12, 1 - 1e-12)
             lp = (x * jnp.log(pc)[None, :]
                   + (1 - x) * jnp.log1p(-pc)[None, :])
-            return x, _pi_weights(state, eta, x, jnp.exp(jnp.sum(lp, axis=1)))
+            return x, _pi_weights(pi, x, jnp.exp(jnp.sum(lp, axis=1)))
         return draw
 
     x1, w1 = draw_with(probs)(k_draw)
@@ -166,13 +175,13 @@ def _binary_pipeline(state: GPState, eta, probs, k_draw, k_update,
     return x, x[idx], w, p_out
 
 
-@partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh"))
-def fused_candidates_binary(state: GPState, eta, probs, k_draw, k_update,
+@partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "pi_apply"))
+def fused_candidates_binary(pi_tree, probs, k_draw, k_update,
                             k_refill, k_nys, *, n_rec: int, n_nys: int,
-                            thresh: int):
+                            thresh: int, pi_apply=lfi_apply):
     """Jitted wrapper of _binary_pipeline (see its docstring)."""
-    return _binary_pipeline(state, eta, probs, k_draw, k_update, k_refill,
-                            k_nys, n_rec, n_nys, thresh)
+    return _binary_pipeline((pi_apply, pi_tree), probs, k_draw, k_update,
+                            k_refill, k_nys, n_rec, n_nys, thresh)
 
 
 def _cont_select_nys(k_nys, x, w, take_head, n_nys: int):
@@ -185,12 +194,11 @@ def _cont_select_nys(k_nys, x, w, take_head, n_nys: int):
     return jnp.where(take_head, x[:n_nys], cents)
 
 
-def _wkde_machinery(state, eta, bounds, n_rec: int, n_kde: int, n_dims: int):
+def _wkde_machinery(pi, bounds, n_rec: int, n_kde: int, n_dims: int):
     def draw_with(params):
         def draw(k):
             x = _wkde_sample(k, params, bounds, n_rec, 10)
-            return x, _pi_weights(state, eta, x,
-                                  _wkde_pdf(params, bounds, x))
+            return x, _pi_weights(pi, x, _wkde_pdf(params, bounds, x))
         return draw
 
     def update_on(x, w):
@@ -235,7 +243,7 @@ def _cont_branches(probe, draw_old, update_on, draw_with, k_update, k_refill,
     return jax.lax.cond(ok1, branch_healthy, branch_degenerate, None)
 
 
-def _uniform_pipeline(state: GPState, eta, bounds, sobol_state,
+def _uniform_pipeline(pi, bounds, sobol_state,
                       sobol_offset, k_draw, k_update, k_refill,
                       k_nys, n_rec: int, n_nys: int,
                       thresh: int, n_kde: int, qmc: bool):
@@ -263,7 +271,7 @@ def _uniform_pipeline(state: GPState, eta, bounds, sobol_state,
             jnp.all(x > lo[None, :], axis=1),
             jnp.all(x < hi[None, :], axis=1))
         pdf = jnp.where(inside, dens, 0.0)
-        return x, _pi_weights(state, eta, x, pdf)
+        return x, _pi_weights(pi, x, pdf)
 
     draw_old = draw_uniform
     if qmc:
@@ -272,8 +280,7 @@ def _uniform_pipeline(state: GPState, eta, bounds, sobol_state,
         x1, w1 = draw_uniform(k_draw, u=u0)
     else:
         x1, w1 = draw_uniform(k_draw)
-    draw_with, update_on = _wkde_machinery(state, eta, bounds, n_rec,
-                                           n_kde, d)
+    draw_with, update_on = _wkde_machinery(pi, bounds, n_rec, n_kde, d)
     x, w, params, did, take_head = _cont_branches(
         (x1, w1), draw_old, update_on, draw_with, k_update, k_refill,
         n_nys, thresh)
@@ -281,19 +288,20 @@ def _uniform_pipeline(state: GPState, eta, bounds, sobol_state,
     return x, x_nys, w, params, did
 
 
-@partial(jax.jit,
-         static_argnames=("n_rec", "n_nys", "thresh", "n_kde", "qmc"))
-def fused_candidates_cont_uniform(state: GPState, eta, bounds, sobol_state,
+@partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde",
+                                   "qmc", "pi_apply"))
+def fused_candidates_cont_uniform(pi_tree, bounds, sobol_state,
                                   sobol_offset, k_draw, k_update, k_refill,
                                   k_nys, *, n_rec: int, n_nys: int,
-                                  thresh: int, n_kde: int, qmc: bool):
+                                  thresh: int, n_kde: int, qmc: bool,
+                                  pi_apply=lfi_apply):
     """Jitted wrapper of _uniform_pipeline (see its docstring)."""
-    return _uniform_pipeline(state, eta, bounds, sobol_state, sobol_offset,
-                             k_draw, k_update, k_refill, k_nys, n_rec,
-                             n_nys, thresh, n_kde, qmc)
+    return _uniform_pipeline((pi_apply, pi_tree), bounds, sobol_state,
+                             sobol_offset, k_draw, k_update, k_refill,
+                             k_nys, n_rec, n_nys, thresh, n_kde, qmc)
 
 
-def _wkde_pipeline(state: GPState, eta, params_old, bounds,
+def _wkde_pipeline(pi, params_old, bounds,
                    k_draw, k_update, k_refill, k_nys,
                    n_rec: int, n_nys: int, thresh: int, n_kde: int):
     """Continuous domain, WKDE proposal -> WKDE refit.
@@ -301,8 +309,7 @@ def _wkde_pipeline(state: GPState, eta, params_old, bounds,
     Returns (x_cand, x_nys, weights, params_out) with params_out already
     selected between refit and old on device (zero host fetches)."""
     d = params_old["x_obs"].shape[1]
-    draw_with, update_on = _wkde_machinery(state, eta, bounds, n_rec,
-                                           n_kde, d)
+    draw_with, update_on = _wkde_machinery(pi, bounds, n_rec, n_kde, d)
     draw_old = draw_with(params_old)
     x1, w1 = draw_old(k_draw)
     x, w, params, did, take_head = _cont_branches(
@@ -314,14 +321,16 @@ def _wkde_pipeline(state: GPState, eta, params_old, bounds,
     return x, x_nys, w, params_out
 
 
-@partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde"))
-def fused_candidates_cont_wkde(state: GPState, eta, params_old, bounds,
+@partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde",
+                                   "pi_apply"))
+def fused_candidates_cont_wkde(pi_tree, params_old, bounds,
                                k_draw, k_update, k_refill, k_nys, *,
                                n_rec: int, n_nys: int, thresh: int,
-                               n_kde: int):
+                               n_kde: int, pi_apply=lfi_apply):
     """Jitted wrapper of _wkde_pipeline (see its docstring)."""
-    return _wkde_pipeline(state, eta, params_old, bounds, k_draw, k_update,
-                          k_refill, k_nys, n_rec, n_nys, thresh, n_kde)
+    return _wkde_pipeline((pi_apply, pi_tree), params_old, bounds, k_draw,
+                          k_update, k_refill, k_nys, n_rec, n_nys, thresh,
+                          n_kde)
 
 
 # ----------------------------------------------------------------------------
@@ -345,17 +354,18 @@ def _recombine(x, x_nys, w, kernel_tree, kernel_apply, batch: int,
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "batch",
-                                   "kernel_apply", "obj_apply"))
-def fused_iteration_binary(state: GPState, eta, probs, k_draw, k_update,
+                                   "kernel_apply", "obj_apply", "pi_apply"))
+def fused_iteration_binary(pi_tree, probs, k_draw, k_update,
                            k_refill, k_nys, kernel_tree, *, n_rec: int,
                            n_nys: int, thresh: int, batch: int,
-                           kernel_apply, obj_apply=None, obj_tree=None):
+                           kernel_apply, obj_apply=None, obj_tree=None,
+                           pi_apply=lfi_apply):
     """_binary_pipeline + kernel recombination, one program.
 
     Returns (x_batch, w_rchq, probs_out)."""
     x, x_nys, w, probs_out = _binary_pipeline(
-        state, eta, probs, k_draw, k_update, k_refill, k_nys, n_rec, n_nys,
-        thresh)
+        (pi_apply, pi_tree), probs, k_draw, k_update, k_refill, k_nys,
+        n_rec, n_nys, thresh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
                                     batch, obj_apply, obj_tree)
     return x_batch, w_rchq, probs_out
@@ -363,48 +373,53 @@ def fused_iteration_binary(state: GPState, eta, probs, k_draw, k_update,
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde",
                                    "qmc", "batch", "kernel_apply",
-                                   "obj_apply"))
-def fused_iteration_cont_uniform(state: GPState, eta, bounds, sobol_state,
+                                   "obj_apply", "pi_apply"))
+def fused_iteration_cont_uniform(pi_tree, bounds, sobol_state,
                                  sobol_offset, k_draw, k_update, k_refill,
                                  k_nys, kernel_tree, *, n_rec: int,
                                  n_nys: int, thresh: int, n_kde: int,
                                  qmc: bool, batch: int, kernel_apply,
-                                 obj_apply=None, obj_tree=None):
+                                 obj_apply=None, obj_tree=None,
+                                 pi_apply=lfi_apply):
     """_uniform_pipeline + kernel recombination, one program.
 
     Returns (x_batch, w_rchq, wkde_params, did_update)."""
     x, x_nys, w, params, did = _uniform_pipeline(
-        state, eta, bounds, sobol_state, sobol_offset, k_draw, k_update,
-        k_refill, k_nys, n_rec, n_nys, thresh, n_kde, qmc)
+        (pi_apply, pi_tree), bounds, sobol_state, sobol_offset, k_draw,
+        k_update, k_refill, k_nys, n_rec, n_nys, thresh, n_kde, qmc)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
                                     batch, obj_apply, obj_tree)
     return x_batch, w_rchq, params, did
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde",
-                                   "batch", "kernel_apply", "obj_apply"))
-def fused_iteration_cont_wkde(state: GPState, eta, params_old, bounds,
+                                   "batch", "kernel_apply", "obj_apply",
+                                   "pi_apply"))
+def fused_iteration_cont_wkde(pi_tree, params_old, bounds,
                               k_draw, k_update, k_refill, k_nys,
                               kernel_tree, *, n_rec: int, n_nys: int,
                               thresh: int, n_kde: int, batch: int,
-                              kernel_apply, obj_apply=None, obj_tree=None):
+                              kernel_apply, obj_apply=None, obj_tree=None,
+                              pi_apply=lfi_apply):
     """_wkde_pipeline + kernel recombination, one program.
 
     Returns (x_batch, w_rchq, params_out)."""
     x, x_nys, w, params_out = _wkde_pipeline(
-        state, eta, params_old, bounds, k_draw, k_update, k_refill, k_nys,
-        n_rec, n_nys, thresh, n_kde)
+        (pi_apply, pi_tree), params_old, bounds, k_draw, k_update,
+        k_refill, k_nys, n_rec, n_nys, thresh, n_kde)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
                                     batch, obj_apply, obj_tree)
     return x_batch, w_rchq, params_out
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "batch",
-                                   "prune", "kernel_apply", "obj_apply"))
-def fused_iteration_dataset(state: GPState, eta, x_all, avail_mask, k_nys,
+                                   "prune", "kernel_apply", "obj_apply",
+                                   "pi_apply"))
+def fused_iteration_dataset(pi_tree, x_all, avail_mask, k_nys,
                             kernel_tree, *, n_rec: int, n_nys: int,
                             thresh: float, batch: int, prune: bool,
-                            kernel_apply, obj_apply=None, obj_tree=None):
+                            kernel_apply, obj_apply=None, obj_tree=None,
+                            pi_apply=lfi_apply):
     """Dataset domain: pi over the whole pool -> adaptive top-k pruning ->
     Nystrom subset -> kernel recombination, one program (the staged path:
     EmpiricalSampler.sampling_datasets + sampling_recombination).
@@ -412,18 +427,20 @@ def fused_iteration_dataset(state: GPState, eta, x_all, avail_mask, k_nys,
     Returns (idx_global, x_batch, w_rchq); idx_global are dataset-row
     indices of the selected batch."""
     idx_sampled, x_cand, x_nys, w = _dataset_pipeline(
-        state, eta, x_all, avail_mask, k_nys, n_rec, n_nys, thresh, prune)
+        (pi_apply, pi_tree), x_all, avail_mask, k_nys, n_rec, n_nys,
+        thresh, prune)
     x_batch, w_rchq, idx_local = _recombine(x_cand, x_nys, w, kernel_tree,
                                             kernel_apply, batch,
                                             obj_apply, obj_tree)
     return idx_sampled[idx_local], x_batch, w_rchq
 
 
-def _dataset_pipeline(state, eta, x_all, avail_mask, k_nys, n_rec: int,
+def _dataset_pipeline(pi, x_all, avail_mask, k_nys, n_rec: int,
                       n_nys: int, thresh: float, prune: bool):
     """pi over the whole pool -> adaptive top-k pruning -> Nystrom subset
     (the staged EmpiricalSampler.sampling_datasets body)."""
-    w_all = lfi(state, eta, x_all)
+    pi_apply, pi_tree = pi
+    w_all = pi_apply(pi_tree, x_all)
     w_all = jnp.where(avail_mask, w_all, 0.0)
     if prune:
         k = min(n_rec, x_all.shape[0])
@@ -524,7 +541,7 @@ def _disc_update(spec: DomainSpec, dtree_old, w, xd_vals, idxf):
     return bernoulli_mle(w, xd_vals)
 
 
-def _discrete_machinery(state, eta, spec: DomainSpec, bounds, disc_tree0,
+def _discrete_machinery(pi, spec: DomainSpec, bounds, disc_tree0,
                         n_rec: int, n_kde: int):
     """draw_with/update_on closures over params = (cont_wkde, disc_tree);
     cont_wkde is () when spec.nc == 0."""
@@ -544,7 +561,7 @@ def _discrete_machinery(state, eta, spec: DomainSpec, bounds, disc_tree0,
             lp = lpc + _disc_logpdf(spec, dtree, xd, idxf)
             x = _join_blocks(spec, xc, xd)
             xA = (jnp.concatenate([x, idxf], axis=1) if spec.c_max else x)
-            return xA, _pi_weights(state, eta, x, jnp.exp(lp))
+            return xA, _pi_weights(pi, x, jnp.exp(lp))
         return draw
 
     def update_on(xA, w):
@@ -567,7 +584,7 @@ def _select_nys_disc(spec: DomainSpec, k_nys, xA, w, take_head, n_nys: int):
     return x[idx]
 
 
-def _discrete_pipeline(state, eta, spec: DomainSpec, cont_tree, disc_tree,
+def _discrete_pipeline(pi, spec: DomainSpec, cont_tree, disc_tree,
                        sobol_state, sobol_offset, k_draw, k_update,
                        k_refill, k_nys, n_rec: int, n_nys: int, thresh: int,
                        n_kde: int, qmc: bool, entry: str):
@@ -584,7 +601,7 @@ def _discrete_pipeline(state, eta, spec: DomainSpec, cont_tree, disc_tree,
         cont_old, bounds = cont_tree
 
     draw_with, update_on = _discrete_machinery(
-        state, eta, spec, bounds, disc_tree, n_rec, n_kde)
+        pi, spec, bounds, disc_tree, n_rec, n_kde)
 
     if entry == "uniform":
         lo, hi = bounds[0], bounds[1]
@@ -604,7 +621,7 @@ def _discrete_pipeline(state, eta, spec: DomainSpec, cont_tree, disc_tree,
             x = _join_blocks(spec, xc, xd)
             xA = (jnp.concatenate([x, idxf], axis=1) if spec.c_max else x)
             pdf = jnp.where(inside, jnp.exp(lp), 0.0)
-            return xA, _pi_weights(state, eta, x, pdf)
+            return xA, _pi_weights(pi, x, pdf)
 
         draw_old = draw_uniform   # PRNG on rare-branch redraws
         if qmc:
@@ -629,36 +646,37 @@ def _discrete_pipeline(state, eta, spec: DomainSpec, cont_tree, disc_tree,
 
 
 @partial(jax.jit, static_argnames=("spec", "n_rec", "n_nys", "thresh",
-                                   "n_kde", "qmc", "entry"))
-def fused_candidates_discrete(state: GPState, eta, cont_tree, disc_tree,
+                                   "n_kde", "qmc", "entry", "pi_apply"))
+def fused_candidates_discrete(pi_tree, cont_tree, disc_tree,
                               sobol_state, sobol_offset, k_draw, k_update,
                               k_refill, k_nys, *, spec: DomainSpec,
                               n_rec: int, n_nys: int, thresh: int,
-                              n_kde: int, qmc: bool, entry: str):
+                              n_kde: int, qmc: bool, entry: str,
+                              pi_apply=lfi_apply):
     """Jitted wrapper of _discrete_pipeline (see its docstring)."""
-    return _discrete_pipeline(state, eta, spec, cont_tree, disc_tree,
-                              sobol_state, sobol_offset, k_draw, k_update,
-                              k_refill, k_nys, n_rec, n_nys, thresh, n_kde,
-                              qmc, entry)
+    return _discrete_pipeline((pi_apply, pi_tree), spec, cont_tree,
+                              disc_tree, sobol_state, sobol_offset, k_draw,
+                              k_update, k_refill, k_nys, n_rec, n_nys,
+                              thresh, n_kde, qmc, entry)
 
 
 @partial(jax.jit, static_argnames=("spec", "n_rec", "n_nys", "thresh",
                                    "n_kde", "qmc", "entry", "batch",
-                                   "kernel_apply", "obj_apply"))
-def fused_iteration_discrete(state: GPState, eta, cont_tree, disc_tree,
+                                   "kernel_apply", "obj_apply", "pi_apply"))
+def fused_iteration_discrete(pi_tree, cont_tree, disc_tree,
                              sobol_state, sobol_offset, k_draw, k_update,
                              k_refill, k_nys, kernel_tree, *,
                              spec: DomainSpec, n_rec: int, n_nys: int,
                              thresh: int, n_kde: int, qmc: bool, entry: str,
                              batch: int, kernel_apply, obj_apply=None,
-                             obj_tree=None):
+                             obj_tree=None, pi_apply=lfi_apply):
     """_discrete_pipeline + kernel recombination, one program.
 
     Returns (x_batch, w_rchq, (cont_params, disc_tree_out), did)."""
     x, x_nys, w, params, did = _discrete_pipeline(
-        state, eta, spec, cont_tree, disc_tree, sobol_state, sobol_offset,
-        k_draw, k_update, k_refill, k_nys, n_rec, n_nys, thresh, n_kde,
-        qmc, entry)
+        (pi_apply, pi_tree), spec, cont_tree, disc_tree, sobol_state,
+        sobol_offset, k_draw, k_update, k_refill, k_nys, n_rec, n_nys,
+        thresh, n_kde, qmc, entry)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
                                     batch, obj_apply, obj_tree)
     return x_batch, w_rchq, params, did
@@ -678,9 +696,9 @@ def fused_bo_step_discrete(x_pad, y_pad, mask, cont_tree, disc_tree,
     Returns (state, x_batch, w_rchq, (cont_params, disc_tree_out), did)."""
     state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser, params0)
     x, x_nys, w, params, did = _discrete_pipeline(
-        state, eta, spec, cont_tree, disc_tree, sobol_state, sobol_offset,
-        k_draw, k_update, k_refill, k_nys, n_rec, n_nys, thresh, n_kde,
-        qmc, entry)
+        (lfi_apply, (state, eta)), spec, cont_tree, disc_tree, sobol_state,
+        sobol_offset, k_draw, k_update, k_refill, k_nys, n_rec, n_nys,
+        thresh, n_kde, qmc, entry)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch)
     return state, x_batch, w_rchq, params, did
 
@@ -715,8 +733,8 @@ def fused_bo_step_binary(x_pad, y_pad, mask, probs, k_draw, k_update,
     Returns (state, x_batch, w_rchq, probs_out)."""
     state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser, params0)
     x, x_nys, w, probs_out = _binary_pipeline(
-        state, eta, probs, k_draw, k_update, k_refill, k_nys, n_rec, n_nys,
-        thresh)
+        (lfi_apply, (state, eta)), probs, k_draw, k_update, k_refill,
+        k_nys, n_rec, n_nys, thresh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch)
     return state, x_batch, w_rchq, probs_out
 
@@ -735,8 +753,9 @@ def fused_bo_step_cont_uniform(x_pad, y_pad, mask, bounds, sobol_state,
     Returns (state, x_batch, w_rchq, wkde_params, did_update)."""
     state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser, params0)
     x, x_nys, w, params, did = _uniform_pipeline(
-        state, eta, bounds, sobol_state, sobol_offset, k_draw, k_update,
-        k_refill, k_nys, n_rec, n_nys, thresh, n_kde, qmc)
+        (lfi_apply, (state, eta)), bounds, sobol_state, sobol_offset,
+        k_draw, k_update, k_refill, k_nys, n_rec, n_nys, thresh, n_kde,
+        qmc)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch)
     return state, x_batch, w_rchq, params, did
 
@@ -754,8 +773,8 @@ def fused_bo_step_cont_wkde(x_pad, y_pad, mask, params_old, bounds, k_draw,
     Returns (state, x_batch, w_rchq, params_out)."""
     state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser, params0)
     x, x_nys, w, params_out = _wkde_pipeline(
-        state, eta, params_old, bounds, k_draw, k_update, k_refill, k_nys,
-        n_rec, n_nys, thresh, n_kde)
+        (lfi_apply, (state, eta)), params_old, bounds, k_draw, k_update,
+        k_refill, k_nys, n_rec, n_nys, thresh, n_kde)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch)
     return state, x_batch, w_rchq, params_out
 
@@ -772,7 +791,8 @@ def fused_bo_step_dataset(x_pad, y_pad, mask, x_all, avail_mask, k_nys, *,
     Returns (state, idx_global, x_batch, w_rchq)."""
     state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser, params0)
     idx_sampled, x_cand, x_nys, w = _dataset_pipeline(
-        state, eta, x_all, avail_mask, k_nys, n_rec, n_nys, thresh, prune)
+        (lfi_apply, (state, eta)), x_all, avail_mask, k_nys, n_rec, n_nys,
+        thresh, prune)
     x_batch, w_rchq, idx_local = _recombine(x_cand, x_nys, w, state,
                                             kernel_apply, batch)
     return state, idx_sampled[idx_local], x_batch, w_rchq

@@ -33,12 +33,22 @@ _lfi_jit = jax.jit(lfi, static_argnames=("log",))
 _eta_jit = jax.jit(posterior_max_mean)
 
 
+def lfi_apply(tree, x_cand):
+    """lfi as a pure function of the (state, eta) tree — the pi
+    stable-callable consumed by the fused pipelines
+    (core/fused_sampling.py)."""
+    state, eta = tree
+    return lfi(state, eta, x_cand)
+
+
 class PI:
     """pi for a standard GP surrogate (SOBER/_pi.py:5-56).
 
     eta is computed once at construction, like the reference's
     PI.__init__ (SOBER/_pi.py:17).
     """
+
+    pi_apply = staticmethod(lfi_apply)
 
     def __init__(self, model: GPState, label: str = "lfi"):
         if label != "lfi":
@@ -48,6 +58,10 @@ class PI:
         self.model = model
         self.label = label
         self.eta = _eta_jit(model)
+
+    @property
+    def pi_tree(self):
+        return (self.model, self.eta)
 
     def __call__(self, x_cand: jax.Array, log: bool = False) -> jax.Array:
         return _lfi_jit(self.model, self.eta, x_cand, log=log)

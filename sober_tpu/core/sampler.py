@@ -298,16 +298,14 @@ class EmpiricalSampler(RecombinationSampler):
         when `fit` is given). Returns (idx_global, x_batch, w_rchq) —
         prefixed with the fitted state in step mode — or None when not
         covered."""
-        from ..gp.exact import GPState
         from ..priors.dataset import DatasetPrior
-        from .pi import PI
 
-        if (self.mesh is not None or not isinstance(self.pi, PI)
+        if (self.mesh is not None
                 or not hasattr(self.kernel, "rc_apply")
                 or type(self.prior) is not DatasetPrior):
             return None
-        state = self.pi.model
-        if not isinstance(state, GPState):
+        pi_pair = self._pi_pair(step=fit is not None)
+        if pi_pair is None:
             return None
         from . import fused_sampling as fs
 
@@ -323,17 +321,32 @@ class EmpiricalSampler(RecombinationSampler):
         if obj is not None:
             common.update(obj_apply=obj[0], obj_tree=obj[1])
         return fs.fused_iteration_dataset(
-            state, self.pi.eta, *pool, self.kernel.rc_tree, **common)
+            pi_pair[1], *pool, self.kernel.rc_tree, pi_apply=pi_pair[0],
+            **common)
 
-    def _fused_dispatch(self, n_rec: int, n_nys: int, batch, fit=None,
-                        obj=None):
+    def _pi_pair(self, step: bool = False):
+        """The pi stable-callable (pi_apply, pi_tree) for the fused
+        programs, or None when self.pi doesn't expose the protocol (see
+        core/fused_sampling.py). PI (exact GP), PIFBGP and PIBQ all carry
+        it; step mode additionally requires the exact-GP pi because the
+        in-trace refit rebuilds a plain GPState (Sober.step rejects
+        FBGP/BQ models up front for the same reason)."""
         from ..gp.exact import GPState
         from .pi import PI
 
-        if self.mesh is not None or not isinstance(self.pi, PI):
+        if isinstance(self.pi, PI):
+            if not isinstance(self.pi.model, GPState):
+                return None
+        elif step or not hasattr(self.pi, "pi_tree"):
             return None
-        state = self.pi.model
-        if not isinstance(state, GPState):
+        apply = getattr(self.pi, "pi_apply", None)
+        if apply is None:
+            return None
+        return apply, self.pi.pi_tree
+
+    def _fused_dispatch(self, n_rec: int, n_nys: int, batch, fit=None,
+                        obj=None):
+        if self.mesh is not None:
             return None
         # three modes share the pipeline bodies (core/fused_sampling.py):
         #   candidates-only (batch None), candidates+recombination
@@ -341,14 +354,18 @@ class EmpiricalSampler(RecombinationSampler):
         #   the model/kernel tree is then built in-trace from the padded
         #   observation buffer instead of being passed in)
         step = fit is not None
+        pi_pair = self._pi_pair(step=step)
+        if pi_pair is None:
+            return None
         rc = {} if batch is None else dict(
             kernel_apply=self.kernel.rc_apply, batch=batch)
         if step:
             head, tail = tuple(fit[:3]), ()
             rc.update(cfg=fit[3], optimiser=fit[4], params0=fit[5])
         else:
-            head = (state, self.pi.eta)
+            head = (pi_pair[1],)
             tail = () if batch is None else (self.kernel.rc_tree,)
+            rc.update(pi_apply=pi_pair[0])
             if obj is not None and batch is not None:
                 # calc_obj as a stable-callable pair: the augmented
                 # objective row rides the fused recombination (step mode

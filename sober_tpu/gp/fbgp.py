@@ -582,12 +582,14 @@ class FullyBayesianGP:
     def rc_kernel(self):
         """Marginal predictive covariance with the stable-callable protocol
         (core/rchq.py:recombination)."""
-        return _RCFbgpKernel(
-            (self.Xobs, self.Theta_qd, self._cache.chol, self._cache.alpha,
-             self.w_qd, self.mask))
+        return _RCFbgpKernel(_fbgp_tree(self))
 
 
-def _fbgp_chain_mu(tree, x_test):
+def _fbgp_chain_predict(tree, x_test):
+    """Per-chain f-space posterior as a pure function of the FBGP tree
+    (fitbo_predict vmapped over chains, as in batch_predict) — shared by
+    the covariance apply, the pi apply, and the acquisition applies below
+    so all of them ride the rc/pi stable-callable protocol."""
     x_obs, theta_qd, chol, alpha, w_qd, mask = tree
 
     def one(theta, chol_i, alpha_i):
@@ -599,9 +601,15 @@ def _fbgp_chain_mu(tree, x_test):
         mu_g = kqx @ alpha_i
         v = solve_triangular(chol_i, kqx.T, lower=True)
         var_g = jnp.maximum(os_ - jnp.sum(v * v, axis=0), 0.0) + noise
-        return eta_h - 0.5 * (mu_g**2 + var_g)
+        mu_f = eta_h - 0.5 * (mu_g**2 + var_g)
+        var_f = jnp.maximum(mu_g * var_g * mu_g + 0.5 * var_g**2, 0.0)
+        return mu_f, var_f
 
     return jax.vmap(one)(theta_qd, chol, alpha)
+
+
+def _fbgp_chain_mu(tree, x_test):
+    return _fbgp_chain_predict(tree, x_test)[0]
 
 
 def _fbgp_cov_apply(tree, x, y):
@@ -632,28 +640,100 @@ class _RCFbgpKernel:
         return _fbgp_cov_apply(self.tree, x, y)
 
 
+def _fbgp_tree(model: "FullyBayesianGP"):
+    """The FBGP stable tree shared by the rc/pi/acquisition applies."""
+    return (model.Xobs, model.Theta_qd, model._cache.chol,
+            model._cache.alpha, model.w_qd, model.mask)
+
+
+def fbgp_pi_apply(tree, x_cand):
+    """PIFBGP's body as a pure function of the FBGP tree — the pi
+    stable-callable (core/fused_sampling.py) that lets FBGP-surrogate
+    iterations trace into one program."""
+    theta_qd, w_qd = tree[1], tree[4]
+    mu_b, var_b = _fbgp_chain_predict(tree, x_cand)
+    z = (mu_b - theta_qd[:, 0][:, None]) / jnp.sqrt(
+        jnp.maximum(var_b, 1e-30))
+    return w_qd @ jax.scipy.special.ndtr(z)
+
+
 class PIFBGP:
     """Hyperposterior-weighted LFI pi (PI_FBGP, SOBER/_pi.py:58-107)."""
+
+    pi_apply = staticmethod(fbgp_pi_apply)
 
     def __init__(self, model: FullyBayesianGP, label: str = "lfi"):
         self.model = model
         self.label = label
 
+    @property
+    def pi_tree(self):
+        return _fbgp_tree(self.model)
+
     def __call__(self, x_cand, log: bool = False):
-        mu_b, var_b = self.model.batch_predict(x_cand)
-        z = (mu_b - self.model.Theta_qd[:, 0][:, None]) / jnp.sqrt(
-            jnp.maximum(var_b, 1e-30))
-        val = self.model.w_qd @ jax.scipy.special.ndtr(z)
+        val = fbgp_pi_apply(self.pi_tree, x_cand)
         if log:
             return jnp.log(val + EPS)
         return val
 
 
+def _fbgp_acq_ei(tree, x):
+    theta_qd, w_qd = tree[1], tree[4]
+    mu_b, var_b = _fbgp_chain_predict(tree, x)
+    eta = theta_qd[:, 0][:, None]
+    sd = jnp.sqrt(jnp.maximum(var_b, 1e-30))
+    z = (mu_b - eta) / sd
+    cdf = jax.scipy.special.ndtr(z)
+    pdf = jnp.exp(-0.5 * z**2) / jnp.sqrt(2 * jnp.pi)
+    return w_qd @ ((mu_b - eta) * cdf + sd * pdf)
+
+
+def _fbgp_acq_ucb(tree, x):
+    w_qd = tree[4]
+    mu_b, var_b = _fbgp_chain_predict(tree, x)
+    ey = w_qd @ mu_b
+    vy = w_qd @ (var_b + mu_b**2) - ey**2
+    return ey + jnp.sqrt(jnp.maximum(vy, 0.0))
+
+
+def _fbgp_acq_mes(tree, x):
+    theta_qd, w_qd = tree[1], tree[4]
+    mu_b, var_b = _fbgp_chain_predict(tree, x)
+    ey = w_qd @ mu_b
+    vary = w_qd @ (var_b + mu_b**2) - ey**2
+    two_pi_e = 2.0 * jnp.pi * jnp.e
+    h1 = 0.5 * jnp.log(two_pi_e * (vary + w_qd @ theta_qd[:, 1]))
+    h2 = 0.5 * (w_qd @ jnp.log(two_pi_e * (var_b + theta_qd[:, 1][:, None])))
+    return h1 - h2
+
+
+def _fbgp_acq_bqbc(tree, x):
+    w_qd = tree[4]
+    mu_b, _ = _fbgp_chain_predict(tree, x)
+    ey = w_qd @ mu_b
+    return w_qd @ (mu_b - ey[None, :])
+
+
+def _fbgp_acq_qbmgp(tree, x):
+    w_qd = tree[4]
+    mu_b, var_b = _fbgp_chain_predict(tree, x)
+    ey = w_qd @ mu_b
+    vy = w_qd @ (var_b + mu_b**2) - ey**2
+    return vy + w_qd @ (mu_b - ey[None, :])
+
+
 class FBGPAcquisitionFunction:
     """EI / UCB / MES(FITBO) / BQBC / QBMGP over hyperposterior-weighted
-    predictions (SOBER/FBGP/_acquisition_function.py:5-117)."""
+    predictions (SOBER/FBGP/_acquisition_function.py:5-117).
+
+    Each label is a module-level pure function of the FBGP tree, exposed
+    through the rc_apply/rc_tree stable-callable protocol so calc_obj-
+    augmented selection keeps Sober's fused one-program fast path."""
 
     LABELS = ("EI", "UCB", "MES", "BQBC", "QBMGP")
+    _APPLIES = {"EI": _fbgp_acq_ei, "UCB": _fbgp_acq_ucb,
+                "MES": _fbgp_acq_mes, "BQBC": _fbgp_acq_bqbc,
+                "QBMGP": _fbgp_acq_qbmgp}
 
     def __init__(self, model: FullyBayesianGP, label: str = "MES"):
         if label not in self.LABELS:
@@ -661,46 +741,11 @@ class FBGPAcquisitionFunction:
                 f"Acquisition function type should be from {self.LABELS}")
         self.model = model
         self.label = label
+        self.rc_apply = self._APPLIES[label]
 
-    def _ei(self, mu_b, var_b):
-        eta = self.model.Theta_qd[:, 0][:, None]
-        sd = jnp.sqrt(jnp.maximum(var_b, 1e-30))
-        z = (mu_b - eta) / sd
-        cdf = jax.scipy.special.ndtr(z)
-        pdf = jnp.exp(-0.5 * z**2) / jnp.sqrt(2 * jnp.pi)
-        return self.model.w_qd @ ((mu_b - eta) * cdf + sd * pdf)
-
-    def _ucb(self, mu_b, var_b):
-        ey = self.model.w_qd @ mu_b
-        vy = self.model.w_qd @ (var_b + mu_b**2) - ey**2
-        return ey + jnp.sqrt(jnp.maximum(vy, 0.0))
-
-    def _fitbo(self, mu_b, var_b):
-        w, theta = self.model.w_qd, self.model.Theta_qd
-        ey = w @ mu_b
-        vary = w @ (var_b + mu_b**2) - ey**2
-        two_pi_e = 2.0 * jnp.pi * jnp.e
-        h1 = 0.5 * jnp.log(two_pi_e * (vary + w @ theta[:, 1]))
-        h2 = 0.5 * (w @ jnp.log(two_pi_e * (var_b + theta[:, 1][:, None])))
-        return h1 - h2
-
-    def _bqbc(self, mu_b):
-        ey = self.model.w_qd @ mu_b
-        return self.model.w_qd @ (mu_b - ey[None, :])
-
-    def _qbmgp(self, mu_b, var_b):
-        ey = self.model.w_qd @ mu_b
-        vy = self.model.w_qd @ (var_b + mu_b**2) - ey**2
-        return vy + self._bqbc(mu_b)
+    @property
+    def rc_tree(self):
+        return _fbgp_tree(self.model)
 
     def __call__(self, x):
-        mu_b, var_b = self.model.batch_predict(x)
-        if self.label == "EI":
-            return self._ei(mu_b, var_b)
-        if self.label == "UCB":
-            return self._ucb(mu_b, var_b)
-        if self.label == "MES":
-            return self._fitbo(mu_b, var_b)
-        if self.label == "BQBC":
-            return self._bqbc(mu_b)
-        return self._qbmgp(mu_b, var_b)
+        return self.rc_apply(self.rc_tree, x)

@@ -158,18 +158,33 @@ class _RCGspaceKernel:
         return _gspace_apply(self.state, x, y)
 
 
+def bq_pi_apply(state: GPState, x_cand):
+    """PIBQ's body as a pure function of the h-space GPState — the pi
+    stable-callable (core/fused_sampling.py) that lets BQ-surrogate
+    iterations trace into one program."""
+    mu_h, var_h = predict(state, x_cand)
+    mu_g = jnp.exp(mu_h + 0.5 * var_h) - 1.0
+    var_g = mu_g**2 * (jnp.exp(var_h) - 1.0)
+    return jax.scipy.special.ndtr(
+        (mu_g - 1.0) / jnp.sqrt(jnp.maximum(var_g, 1e-30)))
+
+
 class PIBQ:
     """pi for BQ models: LFI against the g-space threshold 1
     (PI_BQ, SOBER/_pi.py:109-157)."""
+
+    pi_apply = staticmethod(bq_pi_apply)
 
     def __init__(self, model: ScaleMmltGP, label: str = "lfi"):
         self.model = model
         self.label = label
 
+    @property
+    def pi_tree(self):
+        return self.model.model
+
     def __call__(self, x_cand, log: bool = False):
-        mu, var = self.model.gspace_predict(x_cand)
-        val = jax.scipy.special.ndtr(
-            (mu - 1.0) / jnp.sqrt(jnp.maximum(var, 1e-30)))
+        val = bq_pi_apply(self.pi_tree, x_cand)
         if log:
             return jnp.log(val + EPS)
         return val

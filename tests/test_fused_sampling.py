@@ -133,7 +133,7 @@ class TestContinuousParity:
         state = _gp_binary(seed=3)
         keys = [jax.random.key(i) for i in range(4)]
         x, x_nys, w, probs = fused_candidates_binary(
-            state, jnp.float32(1e9), jnp.full((10,), 0.5), *keys,
+            (state, jnp.float32(1e9)), jnp.full((10,), 0.5), *keys,
             n_rec=512, n_nys=32, thresh=5)
         w = np.asarray(w)
         assert x.shape == (512, 10) and x_nys.shape == (32, 10)
@@ -518,3 +518,123 @@ class TestSoberStep:
         sh.update_model(model)
         xh = sh.next_batch(512, 32, 4)
         assert np.array_equal(np.asarray(xb), np.asarray(xh))
+
+
+class TestGenericPiFusion:
+    """FBGP and warped-BQ surrogates ride the same one-program iterations
+    as exact GPs through the pi stable-callable protocol
+    (pi_apply/pi_tree; core/fused_sampling.py)."""
+
+    @pytest.fixture(scope="class")
+    def fbgp(self):
+        from sober_tpu.gp.fbgp import FitboGP, RBFHyperPrior, fbgp_refit
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(-1, 1, (30, 2)), jnp.float32)
+        lik = jnp.exp(-0.5 * jnp.sum((x / 0.6) ** 2, axis=1))
+        gp = FitboGP(x, lik)
+        return fbgp_refit(gp, RBFHyperPrior(), n_hypers=100, n_nys=24,
+                          n_qd=10, key=jax.random.key(1))
+
+    def test_fbgp_pi_apply_matches_pifbgp(self, fbgp):
+        from sober_tpu.gp.fbgp import PIFBGP, fbgp_pi_apply
+
+        pi = PIFBGP(fbgp)
+        xq = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (50, 2)),
+                         jnp.float32)
+        got = np.asarray(fbgp_pi_apply(pi.pi_tree, xq))
+        # the pure-tree apply IS the pi (PIFBGP delegates to it); pin the
+        # semantics against a direct batch_predict recomputation
+        mu_b, var_b = fbgp.batch_predict(xq)
+        z = (mu_b - fbgp.Theta_qd[:, 0][:, None]) / jnp.sqrt(
+            jnp.maximum(var_b, 1e-30))
+        want = np.asarray(fbgp.w_qd @ jax.scipy.special.ndtr(z))
+        assert np.allclose(got, want, atol=1e-6)
+        assert np.allclose(np.asarray(pi(xq)), want, atol=1e-6)
+
+    def test_fbgp_acquisition_rc_protocol(self, fbgp):
+        from sober_tpu.gp.fbgp import FBGPAcquisitionFunction
+
+        xq = jnp.asarray(np.random.default_rng(2).uniform(-1, 1, (20, 2)),
+                         jnp.float32)
+        mu_b, var_b = fbgp.batch_predict(xq)
+        w, theta = fbgp.w_qd, fbgp.Theta_qd
+        eta = theta[:, 0][:, None]
+        sd = jnp.sqrt(jnp.maximum(var_b, 1e-30))
+        zz = (mu_b - eta) / sd
+        cdf = jax.scipy.special.ndtr(zz)
+        pdf = jnp.exp(-0.5 * zz**2) / jnp.sqrt(2 * jnp.pi)
+        want_ei = np.asarray(w @ ((mu_b - eta) * cdf + sd * pdf))
+        ey = w @ mu_b
+        vy = w @ (var_b + mu_b**2) - ey**2
+        want_ucb = np.asarray(ey + jnp.sqrt(jnp.maximum(vy, 0.0)))
+
+        for label, want in (("EI", want_ei), ("UCB", want_ucb),
+                            ("MES", None), ("BQBC", None), ("QBMGP", None)):
+            af = FBGPAcquisitionFunction(fbgp, label)
+            got = np.asarray(af.rc_apply(af.rc_tree, xq))
+            assert got.shape == (20,) and np.isfinite(got).all()
+            assert np.allclose(got, np.asarray(af(xq)), atol=1e-6)
+            if want is not None:
+                assert np.allclose(got, want, atol=1e-5)
+
+    def test_fbgp_next_batch_fuses(self, fbgp):
+        bounds = jnp.stack([-jnp.ones(2), jnp.ones(2)])
+        sober = Sober(Uniform(bounds), fbgp, seed=3)
+        w, xb = sober.next_batch(1024, 48, 8, return_weights=True)
+        assert "fused_iteration" in sober.last_timings
+        assert xb.shape == (8, 2) and bool(jnp.isfinite(xb).all())
+        w = np.asarray(w)
+        assert (w >= 0).all() and np.isclose(w.sum(), 1.0, atol=1e-2)
+        # learned proposal advanced (Uniform -> WKDE after first update)
+        assert isinstance(sober.prior, WeightedKernelDensityEstimation)
+
+    def test_fbgp_calc_obj_fuses(self, fbgp):
+        from sober_tpu.gp.fbgp import FBGPAcquisitionFunction
+
+        bounds = jnp.stack([-jnp.ones(2), jnp.ones(2)])
+        sober = Sober(Uniform(bounds), fbgp, seed=5)
+        af = FBGPAcquisitionFunction(fbgp, "MES")
+        xb = sober.next_batch(1024, 48, 8, calc_obj=af)
+        assert "fused_iteration" in sober.last_timings
+        assert xb.shape == (8, 2) and bool(jnp.isfinite(xb).all())
+
+    def test_bq_next_batch_fuses(self):
+        from sober_tpu.gp.warped import ScaleMmltGP, bq_pi_apply
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.uniform(-2, 2, (40, 2)), jnp.float32)
+        ll = -0.5 * jnp.sum((x / 0.8) ** 2, axis=1)
+        model = ScaleMmltGP(x, ll)
+        # the pure-tree apply IS PIBQ
+        pi_vals = np.asarray(bq_pi_apply(model.model, x))
+        assert np.allclose(pi_vals, np.asarray(model.make_pi()(x)),
+                           atol=1e-6)
+        bounds = jnp.stack([-2 * jnp.ones(2), 2 * jnp.ones(2)])
+        sober = Sober(Uniform(bounds), model, seed=6)
+        w, xb = sober.next_batch(1024, 48, 8, return_weights=True)
+        assert "fused_iteration" in sober.last_timings
+        assert xb.shape == (8, 2) and bool(jnp.isfinite(xb).all())
+        w = np.asarray(w)
+        assert (w >= 0).all() and np.isfinite(w).all()
+
+    def test_fbgp_fused_matches_staged(self, fbgp, monkeypatch):
+        """Same seeds: the fused FBGP iteration must reproduce the staged
+        path's candidate pool statistics (common healthy branch). Bit
+        parity is NOT asserted — the vmapped chain predictions fuse
+        differently in the one-program pipeline, so the pi weights (and
+        hence the WKDE refit feeding the refill redraw) differ at the ulp
+        level (module docstring, core/fused_sampling.py)."""
+        bounds = jnp.stack([-jnp.ones(2), jnp.ones(2)])
+        sf = Sober(Uniform(bounds), fbgp, seed=13)
+        xf, nf, wf = sf.sampling_candidates(1024, 48)
+
+        _host_only(monkeypatch)
+        sh = Sober(Uniform(bounds), fbgp, seed=13)
+        xh, nh, wh = sh.sampling_candidates(1024, 48)
+        assert np.allclose(np.asarray(xf), np.asarray(xh), atol=1e-3)
+        for w in (wf, wh):
+            w = np.asarray(w)
+            assert (w >= 0).all() and np.isclose(w.sum(), 1.0, atol=1e-4)
+        assert np.allclose(np.asarray(xf).mean(0), np.asarray(xh).mean(0),
+                           atol=0.05)
