@@ -17,16 +17,23 @@ def main(n_init=50, n_iterations=10, n_hypers=1000, n_nys_qd=100, n_qd=50,
     prior, fn = setup_hartmann()
     x_all = prior.sample(keys.next(), n_init)
     y_all = fn(x_all)
+    hp = RBFHyperPrior()
+    gp = FitboGP(x_all, y_all)
+    fbgp = fbgp_refit(gp, hp, n_hypers=n_hypers, n_nys=n_nys_qd,
+                      n_qd=n_qd, key=keys.next())
+    sober = Sober(prior, fbgp, seed=0)
     for it in range(n_iterations):
-        gp = FitboGP(x_all, y_all)
-        # the whole hyper pipeline (LML sweep -> distillation -> chain
-        # caches) as one XLA program; the staged sampling_hypers /
-        # quadrature_distillation / FullyBayesianGP calls remain available
-        fbgp = fbgp_refit(gp, RBFHyperPrior(), n_hypers=n_hypers,
-                          n_nys=n_nys_qd, n_qd=n_qd, key=keys.next())
-        sober = Sober(prior, fbgp, seed=it)
-        af = FBGPAcquisitionFunction(fbgp, "MES")
-        xb = sober.next_batch(n_rec, n_nys, batch_size, calc_obj=af)
+        # the ENTIRE fully-Bayesian iteration — WSABI base refit,
+        # hyperposterior sweep, quadrature distillation, chain caches,
+        # candidate pipeline, kernel recombination — as ONE XLA dispatch;
+        # the model swap and learned-proposal update happen with zero
+        # host fetches. The staged flow (FitboGP + fbgp_refit +
+        # update_model + next_batch, optionally with
+        # calc_obj=FBGPAcquisitionFunction(fbgp, "MES"), which also
+        # fuses) remains available.
+        xb = sober.step_fbgp(x_all, y_all, hp, n_rec, n_nys, batch_size,
+                             n_hypers=n_hypers, n_nys_qd=n_nys_qd,
+                             n_qd=n_qd)
         x_all = jnp.concatenate([x_all, xb])
         y_all = jnp.concatenate([y_all, fn(xb)])
         print(f"{len(x_all)}) best: {float(y_all.max()):.5f} (truth 3.32237)")

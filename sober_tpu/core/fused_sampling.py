@@ -54,6 +54,7 @@ import jax
 import jax.numpy as jnp
 
 from ..priors.wkde import _wkde_fit, _wkde_pdf, _wkde_sample
+from ..utils.linalg import mvn_logpdf
 from ..utils.sobol import sobol_sample
 from ..utils.weights import (
     check_weights,
@@ -333,6 +334,42 @@ def fused_candidates_cont_wkde(pi_tree, params_old, bounds,
                           n_kde)
 
 
+def _gauss_pipeline(pi, mu, chol, k_draw, k_update, k_refill, k_nys,
+                    n_rec: int, n_nys: int, thresh: int, n_kde: int):
+    """Continuous domain, Gaussian proposal -> WKDE update (the SBI /
+    wrapper entry: run_BASQ starts from a Gaussian prior,
+    apps/wrapper.py). The learned WKDE is bounds-free, mirroring the
+    staged update_continuous_prior on a bounds-less prior.
+
+    Returns (x_cand, x_nys, weights, wkde_params, did_update)."""
+    d = mu.shape[0]
+
+    def draw_gauss(k):
+        z = jax.random.normal(k, (n_rec, d))
+        x = mu[None, :] + z @ chol.T
+        pdf = jnp.exp(mvn_logpdf(x, mu, chol))
+        return x, _pi_weights(pi, x, pdf)
+
+    x1, w1 = draw_gauss(k_draw)
+    draw_with, update_on = _wkde_machinery(pi, None, n_rec, n_kde, d)
+    x, w, params, did, take_head = _cont_branches(
+        (x1, w1), draw_gauss, update_on, draw_with, k_update, k_refill,
+        n_nys, thresh)
+    x_nys = _cont_select_nys(k_nys, x, w, take_head, n_nys)
+    return x, x_nys, w, params, did
+
+
+@partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde",
+                                   "pi_apply"))
+def fused_candidates_cont_gauss(pi_tree, mu, chol, k_draw, k_update,
+                                k_refill, k_nys, *, n_rec: int, n_nys: int,
+                                thresh: int, n_kde: int,
+                                pi_apply=lfi_apply):
+    """Jitted wrapper of _gauss_pipeline (see its docstring)."""
+    return _gauss_pipeline((pi_apply, pi_tree), mu, chol, k_draw, k_update,
+                           k_refill, k_nys, n_rec, n_nys, thresh, n_kde)
+
+
 # ----------------------------------------------------------------------------
 # candidates + kernel recombination as ONE program (Sober.next_batch)
 # ----------------------------------------------------------------------------
@@ -410,6 +447,25 @@ def fused_iteration_cont_wkde(pi_tree, params_old, bounds,
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
                                     batch, obj_apply, obj_tree)
     return x_batch, w_rchq, params_out
+
+
+@partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde",
+                                   "batch", "kernel_apply", "obj_apply",
+                                   "pi_apply"))
+def fused_iteration_cont_gauss(pi_tree, mu, chol, k_draw, k_update,
+                               k_refill, k_nys, kernel_tree, *, n_rec: int,
+                               n_nys: int, thresh: int, n_kde: int,
+                               batch: int, kernel_apply, obj_apply=None,
+                               obj_tree=None, pi_apply=lfi_apply):
+    """_gauss_pipeline + kernel recombination, one program.
+
+    Returns (x_batch, w_rchq, wkde_params, did_update)."""
+    x, x_nys, w, params, did = _gauss_pipeline(
+        (pi_apply, pi_tree), mu, chol, k_draw, k_update, k_refill, k_nys,
+        n_rec, n_nys, thresh, n_kde)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
+                                    batch, obj_apply, obj_tree)
+    return x_batch, w_rchq, params, did
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "batch",
@@ -763,6 +819,25 @@ def fused_bo_step_cont_uniform(x_pad, y_pad, mask, bounds, sobol_state,
 @partial(jax.jit, static_argnames=("cfg", "optimiser", "n_rec", "n_nys",
                                    "thresh", "n_kde", "batch",
                                    "kernel_apply"))
+def fused_bo_step_cont_gauss(x_pad, y_pad, mask, mu, chol, k_draw,
+                             k_update, k_refill, k_nys, *, cfg,
+                             optimiser: str, n_rec: int, n_nys: int,
+                             thresh: int, n_kde: int, batch: int,
+                             kernel_apply, params0=None):
+    """Refit + _gauss_pipeline + recombination, one program.
+
+    Returns (state, x_batch, w_rchq, wkde_params, did_update)."""
+    state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser, params0)
+    x, x_nys, w, params, did = _gauss_pipeline(
+        (lfi_apply, (state, eta)), mu, chol, k_draw, k_update, k_refill,
+        k_nys, n_rec, n_nys, thresh, n_kde)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch)
+    return state, x_batch, w_rchq, params, did
+
+
+@partial(jax.jit, static_argnames=("cfg", "optimiser", "n_rec", "n_nys",
+                                   "thresh", "n_kde", "batch",
+                                   "kernel_apply"))
 def fused_bo_step_cont_wkde(x_pad, y_pad, mask, params_old, bounds, k_draw,
                             k_update, k_refill, k_nys, *, cfg,
                             optimiser: str, n_rec: int, n_nys: int,
@@ -777,6 +852,136 @@ def fused_bo_step_cont_wkde(x_pad, y_pad, mask, params_old, bounds, k_draw,
         k_refill, k_nys, n_rec, n_nys, thresh, n_kde)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch)
     return state, x_batch, w_rchq, params_out
+
+
+# ----------------------------------------------------------------------------
+# fully-Bayesian BO step: WSABI base fit + hyper pipeline + candidates +
+# recombination as ONE program (Sober.step_fbgp)
+# ----------------------------------------------------------------------------
+
+def _fbgp_fit_and_tree(x_pad, y_pad, mask, hypermu, hyperstd, k_hyper,
+                       k_qdnys, cfg, optimiser: str, alpha_factor: float,
+                       n_hypers: int, n_nys_qd: int, n_qd: int):
+    """FitboGP._refit + the whole fbgp_refit hyper pipeline, traced:
+    WSABI warp -> base MAP fit -> theta_map -> hyperposterior LML sweep ->
+    distillation -> chain caches. Returns (base GPState, alpha,
+    fobs_padded, fbgp tree) with the tree in the rc/pi stable layout
+    (gp/fbgp.py:_fbgp_tree)."""
+    from ..gp.exact import fit_gp_traced
+    from ..gp.fbgp import _VBQ_CFG, fbgp_refit_traced
+    from ..utils.linalg import remove_anomalies
+
+    y = remove_anomalies(y_pad.reshape(-1))
+    alpha = alpha_factor * jnp.max(jnp.where(mask > 0, y, -jnp.inf))
+    # padded rows warp at exactly alpha -> 0 before the mask zeroes them
+    # (FitboGP._process_y's NaN guard)
+    y_at = jnp.where(mask > 0, y, alpha)
+    g = jnp.sign(alpha) * jnp.sqrt(
+        jnp.maximum(2.0 * (alpha - y_at), 0.0)) * mask
+    state = fit_gp_traced(x_pad, g, mask, cfg, optimiser)
+    fobs = y_pad.reshape(-1) * mask
+    ls = jnp.atleast_1d(state.kernel.params["lengthscale"])
+    theta_map = jnp.concatenate([
+        jnp.atleast_1d(state.noise), ls,
+        jnp.atleast_1d(state.kernel.params["outputscale"])])
+    w_qd, theta_qd, chol, alpha_ch = fbgp_refit_traced(
+        x_pad, fobs, mask, alpha, theta_map, hypermu, hyperstd,
+        k_hyper, k_qdnys, n_hypers=n_hypers, n_nys=n_nys_qd, n_qd=n_qd,
+        cfg=_VBQ_CFG)
+    tree = (x_pad, theta_qd, chol, alpha_ch, w_qd, mask)
+    return state, alpha, fobs, tree
+
+
+_FBGP_STEP_STATICS = ("cfg", "optimiser", "alpha_factor", "n_hypers",
+                      "n_nys_qd", "n_qd", "n_rec", "n_nys", "thresh",
+                      "n_kde", "batch")
+
+
+def _fbgp_step_out(tree, state, alpha, fobs, x_batch, w_rchq, *tail):
+    """Flatten a step result to (fbgp parts..., x_batch, w_rchq, *tail);
+    `tail` matches each proposal family's trailing outputs ((params, did)
+    for uniform/gauss, (params_out,) for wkde) so the shared dispatch
+    branches unpack identically across the exact-GP and FBGP step
+    programs."""
+    x_pad, theta_qd, chol, alpha_ch, w_qd, mask = tree
+    return (state, alpha, fobs, w_qd, theta_qd, chol, alpha_ch,
+            x_batch, w_rchq) + tail
+
+
+@partial(jax.jit, static_argnames=_FBGP_STEP_STATICS + ("qmc",))
+def fused_fbgp_step_cont_uniform(x_pad, y_pad, mask, hypermu, hyperstd,
+                                 k_hyper, k_qdnys, bounds, sobol_state,
+                                 sobol_offset, k_draw, k_update, k_refill,
+                                 k_nys, *, cfg, optimiser: str,
+                                 alpha_factor: float, n_hypers: int,
+                                 n_nys_qd: int, n_qd: int, n_rec: int,
+                                 n_nys: int, thresh: int, n_kde: int,
+                                 qmc: bool, batch: int):
+    """WSABI fit + hyper pipeline + _uniform_pipeline + recombination, one
+    program. Returns (state, alpha, fobs, w_qd, theta_qd, chol, alpha_ch,
+    x_batch, w_rchq, wkde_params, did_update)."""
+    from ..gp.fbgp import _fbgp_cov_apply, fbgp_pi_apply
+
+    state, alpha, fobs, tree = _fbgp_fit_and_tree(
+        x_pad, y_pad, mask, hypermu, hyperstd, k_hyper, k_qdnys, cfg,
+        optimiser, alpha_factor, n_hypers, n_nys_qd, n_qd)
+    x, x_nys, w, params, did = _uniform_pipeline(
+        (fbgp_pi_apply, tree), bounds, sobol_state, sobol_offset, k_draw,
+        k_update, k_refill, k_nys, n_rec, n_nys, thresh, n_kde, qmc)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, tree, _fbgp_cov_apply,
+                                    batch)
+    return _fbgp_step_out(tree, state, alpha, fobs, x_batch, w_rchq,
+                          params, did)
+
+
+@partial(jax.jit, static_argnames=_FBGP_STEP_STATICS)
+def fused_fbgp_step_cont_wkde(x_pad, y_pad, mask, hypermu, hyperstd,
+                              k_hyper, k_qdnys, params_old, bounds, k_draw,
+                              k_update, k_refill, k_nys, *, cfg,
+                              optimiser: str, alpha_factor: float,
+                              n_hypers: int, n_nys_qd: int, n_qd: int,
+                              n_rec: int, n_nys: int, thresh: int,
+                              n_kde: int, batch: int):
+    """WSABI fit + hyper pipeline + _wkde_pipeline + recombination, one
+    program. Returns (state, alpha, fobs, w_qd, theta_qd, chol, alpha_ch,
+    x_batch, w_rchq, params_out)."""
+    from ..gp.fbgp import _fbgp_cov_apply, fbgp_pi_apply
+
+    state, alpha, fobs, tree = _fbgp_fit_and_tree(
+        x_pad, y_pad, mask, hypermu, hyperstd, k_hyper, k_qdnys, cfg,
+        optimiser, alpha_factor, n_hypers, n_nys_qd, n_qd)
+    x, x_nys, w, params_out = _wkde_pipeline(
+        (fbgp_pi_apply, tree), params_old, bounds, k_draw, k_update,
+        k_refill, k_nys, n_rec, n_nys, thresh, n_kde)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, tree, _fbgp_cov_apply,
+                                    batch)
+    return _fbgp_step_out(tree, state, alpha, fobs, x_batch, w_rchq,
+                          params_out)
+
+
+@partial(jax.jit, static_argnames=_FBGP_STEP_STATICS)
+def fused_fbgp_step_cont_gauss(x_pad, y_pad, mask, hypermu, hyperstd,
+                               k_hyper, k_qdnys, mu, chol_prior, k_draw,
+                               k_update, k_refill, k_nys, *, cfg,
+                               optimiser: str, alpha_factor: float,
+                               n_hypers: int, n_nys_qd: int, n_qd: int,
+                               n_rec: int, n_nys: int, thresh: int,
+                               n_kde: int, batch: int):
+    """WSABI fit + hyper pipeline + _gauss_pipeline + recombination, one
+    program. Returns (state, alpha, fobs, w_qd, theta_qd, chol, alpha_ch,
+    x_batch, w_rchq, wkde_params, did_update)."""
+    from ..gp.fbgp import _fbgp_cov_apply, fbgp_pi_apply
+
+    state, alpha, fobs, tree = _fbgp_fit_and_tree(
+        x_pad, y_pad, mask, hypermu, hyperstd, k_hyper, k_qdnys, cfg,
+        optimiser, alpha_factor, n_hypers, n_nys_qd, n_qd)
+    x, x_nys, w, params, did = _gauss_pipeline(
+        (fbgp_pi_apply, tree), mu, chol_prior, k_draw, k_update, k_refill,
+        k_nys, n_rec, n_nys, thresh, n_kde)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, tree, _fbgp_cov_apply,
+                                    batch)
+    return _fbgp_step_out(tree, state, alpha, fobs, x_batch, w_rchq,
+                          params, did)
 
 
 @partial(jax.jit, static_argnames=("cfg", "optimiser", "n_rec", "n_nys",

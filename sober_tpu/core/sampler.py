@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.kmeans import kmeans_resampling
 from ..priors.base import BasePrior
-from ..priors.continuous import Uniform
+from ..priors.continuous import Gaussian, Uniform
 from ..priors.discrete import (
     BinaryPrior,
     CategoricalPrior,
@@ -120,6 +120,7 @@ class EmpiricalSampler(RecombinationSampler):
                          schedule=schedule)
         self.thresh_initial = thresh
         self.prior = prior
+        self.prior_initial = prior
         self.pi = pi
         self.label = label
         self.flag = False
@@ -128,10 +129,16 @@ class EmpiricalSampler(RecombinationSampler):
 
     def initialise_prior(self):
         """Reset the proposal to the original domain prior
-        (SOBER/_sampler.py:87-111)."""
-        p = self.prior
+        (SOBER/_sampler.py:87-111). Reconstructed from the ORIGINAL
+        prior's attributes rather than the current proposal's (the
+        reference reads them off the current proposal, which crashes for
+        Gaussian-family flows once the proposal is a bounds-less WKDE);
+        identical semantics in every reference-supported flow. Gaussian /
+        TruncatedGaussian originals are stateless samplers, so the reset
+        reuses the object itself."""
+        p = self.prior_initial
         if self.label == "continuous":
-            self.prior = Uniform(p.bounds)
+            self.prior = Uniform(p.bounds) if isinstance(p, Uniform) else p
         elif self.label == "binary":
             self.prior = BinaryPrior(p.n_dims)
         elif self.label == "categorical":
@@ -345,34 +352,49 @@ class EmpiricalSampler(RecombinationSampler):
         return apply, self.pi.pi_tree
 
     def _fused_dispatch(self, n_rec: int, n_nys: int, batch, fit=None,
-                        obj=None):
+                        obj=None, fbgp_fit=None):
         if self.mesh is not None:
             return None
-        # three modes share the pipeline bodies (core/fused_sampling.py):
+        # four modes share the pipeline bodies (core/fused_sampling.py):
         #   candidates-only (batch None), candidates+recombination
-        #   (batch set), and refit+candidates+recombination (fit set —
-        #   the model/kernel tree is then built in-trace from the padded
-        #   observation buffer instead of being passed in)
+        #   (batch set), refit+candidates+recombination (fit set — the
+        #   model/kernel tree is then built in-trace from the padded
+        #   observation buffer instead of being passed in), and the
+        #   fully-Bayesian step (fbgp_fit set — WSABI base fit + hyper
+        #   pipeline + candidates + recombination; continuous proposal
+        #   families only)
         step = fit is not None
-        pi_pair = self._pi_pair(step=step)
-        if pi_pair is None:
-            return None
-        rc = {} if batch is None else dict(
-            kernel_apply=self.kernel.rc_apply, batch=batch)
-        if step:
-            head, tail = tuple(fit[:3]), ()
-            rc.update(cfg=fit[3], optimiser=fit[4], params0=fit[5])
+        fstep = fbgp_fit is not None
+        if fstep:
+            if batch is None:
+                return None
+            # fbgp_fit = ((x_pad, y_pad, mask, hypermu, hyperstd, k_hyper,
+            #              k_qdnys), statics-dict)
+            head, tail = tuple(fbgp_fit[0]), ()
+            rc = dict(batch=batch, **fbgp_fit[1])
         else:
-            head = (pi_pair[1],)
-            tail = () if batch is None else (self.kernel.rc_tree,)
-            rc.update(pi_apply=pi_pair[0])
-            if obj is not None and batch is not None:
-                # calc_obj as a stable-callable pair: the augmented
-                # objective row rides the fused recombination (step mode
-                # excluded — its obj tree would be stale pre-refit)
-                rc.update(obj_apply=obj[0], obj_tree=obj[1])
+            pi_pair = self._pi_pair(step=step)
+            if pi_pair is None:
+                return None
+            rc = {} if batch is None else dict(
+                kernel_apply=self.kernel.rc_apply, batch=batch)
+            if step:
+                head, tail = tuple(fit[:3]), ()
+                rc.update(cfg=fit[3], optimiser=fit[4], params0=fit[5])
+            else:
+                head = (pi_pair[1],)
+                tail = () if batch is None else (self.kernel.rc_tree,)
+                rc.update(pi_apply=pi_pair[0])
+                if obj is not None and batch is not None:
+                    # calc_obj as a stable-callable pair: the augmented
+                    # objective row rides the fused recombination (step
+                    # mode excluded — its obj tree would be stale
+                    # pre-refit)
+                    rc.update(obj_apply=obj[0], obj_tree=obj[1])
 
         if self.label == "binary" and type(self.prior) is BinaryPrior:
+            if fstep:
+                return None
             from . import fused_sampling as fs
 
             fn = (fs.fused_bo_step_binary if step
@@ -402,7 +424,8 @@ class EmpiricalSampler(RecombinationSampler):
 
             if (type(prior) is WeightedKernelDensityEstimation
                     and prior._params["x_obs"].shape[0] == n_kde):
-                fn = (fs.fused_bo_step_cont_wkde if step
+                fn = (fs.fused_fbgp_step_cont_wkde if fstep
+                      else fs.fused_bo_step_cont_wkde if step
                       else fs.fused_iteration_cont_wkde if batch is not None
                       else fs.fused_candidates_cont_wkde)
                 k = [self.keys.next() for _ in range(4)]
@@ -414,7 +437,8 @@ class EmpiricalSampler(RecombinationSampler):
                 return tuple(out)
 
             if type(prior) is Uniform:
-                fn = (fs.fused_bo_step_cont_uniform if step
+                fn = (fs.fused_fbgp_step_cont_uniform if fstep
+                      else fs.fused_bo_step_cont_uniform if step
                       else fs.fused_iteration_cont_uniform
                       if batch is not None
                       else fs.fused_candidates_cont_uniform)
@@ -433,7 +457,26 @@ class EmpiricalSampler(RecombinationSampler):
                     self.prior = wkde_holder(params, prior.bounds)
                 return tuple(out)
 
+            if type(prior) is Gaussian:
+                # the SBI / run_BASQ entry: Gaussian prior -> bounds-free
+                # WKDE proposal (the family switch fetch, once per run)
+                fn = (fs.fused_fbgp_step_cont_gauss if fstep
+                      else fs.fused_bo_step_cont_gauss if step
+                      else fs.fused_iteration_cont_gauss
+                      if batch is not None
+                      else fs.fused_candidates_cont_gauss)
+                k = [self.keys.next() for _ in range(4)]
+                *out, params, did = fn(
+                    *head, prior.mu, prior.chol, *k, *tail, n_rec=n_rec,
+                    n_nys=n_nys, thresh=self.thresh_initial, n_kde=n_kde,
+                    **rc)
+                if bool(did):
+                    self.prior = wkde_holder(params, None)
+                return tuple(out)
+
         if self.label in ("categorical", "mixedbinary", "mixedcategorical"):
+            if fstep:
+                return None
             return self._fused_discrete(n_rec, n_nys, head, tail, rc)
 
         return None

@@ -336,6 +336,82 @@ class Sober(EmpiricalSampler):
             return idx_global, x_batch
         return x_batch
 
+    def step_fbgp(self, x_obs, y_obs, hyperprior, n_rec: int, n_nys: int,
+                  batch_size: int, n_hypers: int = 1000,
+                  n_nys_qd: int = 100, n_qd: int = 50, cfg=None,
+                  optimiser: str = "lbfgs", alpha_factor: float = 1.0,
+                  bucket: int = 128, recycle_prior: bool = True,
+                  return_weights: bool = False):
+        """One-program fully-Bayesian BO iteration — the FBGP analogue of
+        `step`: WSABI-warped base MAP refit + hyperposterior LML sweep +
+        quadrature distillation + chain-cache build + candidate pipeline +
+        kernel recombination, all traced into a single dispatch
+        (core/fused_sampling.py:fused_fbgp_step_*). Updates self to the
+        refit FullyBayesianGP (zero host fetches) and returns X_batch
+        ((w, X_batch) with return_weights).
+
+        hyperprior: gp.fbgp.RBFHyperPrior; its n_ls must match the base
+        config (1 isotropic, d for cfg.ard). cfg defaults to FitboGP's
+        fit config. Proposal families outside the fused continuous
+        entries (discrete/mixed/dataset domains) fall back to the staged
+        flow: FitboGP + fbgp_refit + update_model + next_batch.
+
+        No reference analogue: the reference's FBGP loop rebuilds a
+        gpytorch model per hypersample in Python per refit
+        (SOBER/FBGP/_fully_Bayesian_gp.py:179-245) on top of the staged
+        host pipeline (SOBER/_sober.py:125-195)."""
+        from ..gp.exact import pad_observations
+        from ..gp.fbgp import (FitboGP, FullyBayesianGP, _ChainCache,
+                               _VBQ_CFG, fbgp_refit)
+
+        if cfg is None:
+            # FitboGP's default fit config (same numbers as the
+            # hyper-surrogate's _VBQ_CFG: rbf, noise in [1e-11, 1e-9],
+            # no y standardization, 200 iters)
+            cfg = _VBQ_CFG
+        x_obs = jnp.asarray(x_obs)
+        n_ls_needed = x_obs.shape[1] if cfg.ard else 1
+        if hyperprior.n_ls != n_ls_needed:
+            raise ValueError(
+                f"hyperprior.n_ls={hyperprior.n_ls} does not match the "
+                f"base config ({'ARD, ' if cfg.ard else 'isotropic, '}"
+                f"needs n_ls={n_ls_needed}); construct "
+                f"RBFHyperPrior(n_ls={n_ls_needed})")
+        t0 = time.monotonic()
+        if self.label != "dataset" and self.should_reset_prior(
+                batch_size, recycle_prior, targets=np.asarray(y_obs)):
+            self.initialise_prior()
+        x_pad, y_pad, mask = pad_observations(
+            x_obs, jnp.asarray(y_obs), bucket)
+        data = (x_pad, y_pad, mask, hyperprior.hypermu, hyperprior.hyperstd,
+                self.keys.next(), self.keys.next())
+        statics = dict(cfg=cfg, optimiser=optimiser,
+                       alpha_factor=alpha_factor, n_hypers=n_hypers,
+                       n_nys_qd=n_nys_qd, n_qd=n_qd)
+        out = self._fused_dispatch(n_rec, n_nys, batch_size,
+                                   fbgp_fit=(data, statics))
+        if out is None:
+            gp = FitboGP(x_obs, y_obs, optimiser=optimiser, bucket=bucket,
+                         ard=cfg.ard)
+            fbgp = fbgp_refit(gp, hyperprior, n_hypers=n_hypers,
+                              n_nys=n_nys_qd, n_qd=n_qd,
+                              key=self.keys.next())
+            self.update_model(fbgp)
+            return self.next_batch(n_rec, n_nys, batch_size,
+                                   return_weights=return_weights,
+                                   recycle_prior=recycle_prior)
+        (state, alpha, fobs, w_qd, theta_qd, chol, alpha_ch, x_batch,
+         w_rchq) = out
+        fbgp = FullyBayesianGP.from_arrays(
+            x_pad, fobs, mask, alpha, w_qd, theta_qd,
+            _ChainCache(chol, alpha_ch))
+        self.update_model(fbgp)
+        total = time.monotonic() - t0
+        self.last_timings = {"fused_iteration": total, "total": total}
+        if return_weights:
+            return w_rchq, x_batch
+        return x_batch
+
     def _warm_start_params(self, cfg, n_dims: int):
         """Recover warm-start GPParams from the current model, or None when
         the model isn't a plain GPState or its parameter pytree doesn't

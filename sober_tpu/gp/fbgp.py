@@ -440,13 +440,16 @@ _VBQ_CFG = GPConfig(kernel_name="rbf", noise_lo=1e-11, noise_hi=1e-9,
                     fit_iters=200)
 
 
-@partial(jax.jit, static_argnames=("n_hypers", "n_nys", "n_qd", "cfg"))
-def _fbgp_refit_program(x, fobs, mask, eta, theta_map, hypermu, hyperstd,
-                        k_sample, k_nys, *, n_hypers: int, n_nys: int,
-                        n_qd: int, cfg: GPConfig):
+def fbgp_refit_traced(x, fobs, mask, eta, theta_map, hypermu, hyperstd,
+                      k_sample, k_nys, *, n_hypers: int, n_nys: int,
+                      n_qd: int, cfg: GPConfig):
     """The whole FBGP hyper pipeline as ONE XLA program: hyperprior draw ->
     vmapped LML sweep -> LML-weighted Nystrom subset -> exp-warped
     hyper-surrogate MAP fit -> RCHQ distillation -> chain-cache build.
+
+    Plain traceable body — called standalone through the jitted
+    _fbgp_refit_program wrapper below (fbgp_refit), or inlined into the
+    one-program FBGP BO step (core/fused_sampling.py:fused_fbgp_step_*).
 
     The staged path (sampling_hypers + quadrature_distillation +
     FullyBayesianGP(...)) dispatches five programs with host fetches
@@ -484,6 +487,10 @@ def _fbgp_refit_program(x, fobs, mask, eta, theta_map, hypermu, hyperstd,
     chol, alpha = jax.vmap(_chain_cache, in_axes=(0, None, None, None))(
         theta_qd, x, fobs, mask)
     return w_qd, theta_qd, chol, alpha
+
+
+_fbgp_refit_program = jax.jit(
+    fbgp_refit_traced, static_argnames=("n_hypers", "n_nys", "n_qd", "cfg"))
 
 
 def fbgp_refit(model: "FitboGP", hyperprior: "RBFHyperPrior",
@@ -527,6 +534,21 @@ class FullyBayesianGP:
             self._build_caches()
         else:
             self._cache = cache                    # fbgp_refit's fused build
+
+    @classmethod
+    def from_arrays(cls, x_obs, fobs, mask, eta, w_qd, theta_qd, cache):
+        """Rebuild from raw pieces — the host side of the one-program FBGP
+        BO step (Sober.step_fbgp), where no FitboGP object exists because
+        the base fit happened in-trace."""
+        obj = object.__new__(cls)
+        obj.Xobs = x_obs
+        obj.fobs = fobs
+        obj.mask = mask
+        obj.eta = eta
+        obj.w_qd = jnp.asarray(w_qd)
+        obj.Theta_qd = jnp.asarray(theta_qd)
+        obj._cache = cache
+        return obj
 
     def _build_caches(self):
         chol, alpha = _chain_cache_sweep(

@@ -638,3 +638,177 @@ class TestGenericPiFusion:
             assert (w >= 0).all() and np.isclose(w.sum(), 1.0, atol=1e-4)
         assert np.allclose(np.asarray(xf).mean(0), np.asarray(xh).mean(0),
                            atol=0.05)
+
+
+class TestGaussianEntry:
+    """Gaussian-prior (SBI / run_BASQ) flows through the fused pipelines."""
+
+    def _gauss_prior(self, d=2):
+        from sober_tpu.priors.continuous import Gaussian
+
+        cov = jnp.asarray([[0.5, 0.1], [0.1, 0.4]], jnp.float32)
+        return Gaussian(jnp.zeros(d), cov)
+
+    def test_first_iteration_matches_host_path(self, monkeypatch):
+        state = _gp_cont(seed=6)
+        sf = Sober(self._gauss_prior(), state, seed=21)
+        xf, nf, wf = sf.sampling_candidates(2048, 64)
+
+        _host_only(monkeypatch)
+        sh = Sober(self._gauss_prior(), state, seed=21)
+        xh, nh, wh = sh.sampling_candidates(2048, 64)
+
+        # ulp-level tolerance: the refilled pool is drawn from the learned
+        # WKDE, whose fit consumes pi weights that XLA fuses differently
+        # in the one-program pipeline (module docstring)
+        assert np.allclose(np.asarray(xf), np.asarray(xh), atol=1e-5)
+        assert np.allclose(np.asarray(wf), np.asarray(wh), atol=1e-5)
+        # both advanced Gaussian -> bounds-free WKDE
+        assert isinstance(sf.prior, WeightedKernelDensityEstimation)
+        assert isinstance(sh.prior, WeightedKernelDensityEstimation)
+        assert sf.prior.bounds is None and sh.prior.bounds is None
+        assert np.allclose(np.asarray(sf.prior.x_obs),
+                           np.asarray(sh.prior.x_obs), atol=1e-6)
+
+    def test_next_batch_fuses_and_step(self):
+        state = _gp_cont(seed=7)
+        sober = Sober(self._gauss_prior(), state, seed=23)
+        xb = sober.next_batch(1024, 48, 8)
+        assert "fused_iteration" in sober.last_timings
+        assert xb.shape == (8, 2) and bool(jnp.isfinite(xb).all())
+
+        # Sober.step with a Gaussian prior: refit + pipeline + recombination
+        # as one program (fused_bo_step_cont_gauss)
+        rng = np.random.default_rng(8)
+        x0 = jnp.asarray(rng.normal(0, 0.7, (30, 2)), jnp.float32)
+        y0 = -jnp.sum(x0**2, axis=1)
+        s2 = Sober(self._gauss_prior(), _gp_cont(seed=8), seed=29)
+        xb2 = s2.step(x0, y0, 1024, 48, 8)
+        assert "fused_iteration" in s2.last_timings
+        assert xb2.shape == (8, 2) and bool(jnp.isfinite(xb2).all())
+
+    def test_reset_restores_gaussian(self):
+        """initialise_prior must restore the ORIGINAL Gaussian prior once
+        the proposal is a bounds-free WKDE (the reference crashes here:
+        Uniform(self.prior.bounds) on a bounds-less proposal,
+        SOBER/_sampler.py:92)."""
+        from sober_tpu.priors.continuous import Gaussian
+
+        state = _gp_cont(seed=9)
+        prior0 = self._gauss_prior()
+        sober = Sober(prior0, state, seed=31)
+        sober.next_batch(1024, 48, 8)
+        assert isinstance(sober.prior, WeightedKernelDensityEstimation)
+        sober.initialise_prior()
+        assert isinstance(sober.prior, Gaussian)
+        assert sober.prior is prior0
+        # and the next iteration runs (fused) from the restored prior
+        xb = sober.next_batch(1024, 48, 8)
+        assert xb.shape == (8, 2) and bool(jnp.isfinite(xb).all())
+
+
+class TestStepFbgp:
+    """Sober.step_fbgp: the whole fully-Bayesian BO iteration (WSABI base
+    fit + hyper pipeline + candidates + recombination) as ONE program."""
+
+    def _data(self, n=30, seed=0):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.uniform(-1, 1, (n, 2)), jnp.float32)
+        y = jnp.exp(-0.5 * jnp.sum((x / 0.6) ** 2, axis=1))
+        return x, y
+
+    def _sober(self, x, y, prior, seed=17):
+        from sober_tpu.gp.fbgp import FitboGP, RBFHyperPrior, fbgp_refit
+
+        gp = FitboGP(x, y)
+        fbgp = fbgp_refit(gp, RBFHyperPrior(), n_hypers=50, n_nys=16,
+                          n_qd=8, key=jax.random.key(0))
+        return Sober(prior, fbgp, seed=seed)
+
+    def test_uniform_entry_two_iterations(self):
+        from sober_tpu.gp.fbgp import FullyBayesianGP, RBFHyperPrior
+
+        x0, y0 = self._data()
+        bounds = jnp.stack([-jnp.ones(2), jnp.ones(2)])
+        sober = self._sober(x0, y0, Uniform(bounds))
+        hp = RBFHyperPrior()
+        model0 = sober.pi.model
+        w, xb = sober.step_fbgp(x0, y0, hp, 1024, 48, 8, n_hypers=100,
+                                n_nys_qd=24, n_qd=10, return_weights=True)
+        assert "fused_iteration" in sober.last_timings
+        assert xb.shape == (8, 2) and bool(jnp.isfinite(xb).all())
+        assert np.isfinite(np.asarray(w)).all()
+        # the model really was refit in-program and swapped in
+        m = sober.pi.model
+        assert isinstance(m, FullyBayesianGP) and m is not model0
+        assert m.Theta_qd.shape == (10, 4)
+        assert int(m.mask.sum()) == 30
+        # quadrature weights from the in-program distillation sum to ~1
+        assert np.isclose(float(m.w_qd.sum()), 1.0, atol=1e-2)
+        # proposal advanced Uniform -> WKDE; second iteration fuses too
+        assert isinstance(sober.prior, WeightedKernelDensityEstimation)
+        x1 = jnp.concatenate([x0, xb])
+        y1 = jnp.exp(-0.5 * jnp.sum((x1 / 0.6) ** 2, axis=1))
+        xb2 = sober.step_fbgp(x1, y1, hp, 1024, 48, 8, n_hypers=100,
+                              n_nys_qd=24, n_qd=10)
+        assert "fused_iteration" in sober.last_timings
+        assert bool(jnp.isfinite(xb2).all())
+        assert int(sober.pi.model.mask.sum()) == 38
+
+    def test_matches_staged_base_fit(self):
+        """The in-trace WSABI base fit must agree with FitboGP's staged
+        fit (same warp, same padded buffers, same optimiser) up to the
+        fp32 divergence of independently compiled optimiser runs. Exact
+        hyperposterior parity is NOT asserted: ulp differences in theta
+        feed a stochastic resampler and the recombination support pick,
+        so the distilled w_qd is only equivalent as a quadrature, not
+        elementwise (core/fused_sampling.py module docstring)."""
+        from sober_tpu.core import fused_sampling as fs
+        from sober_tpu.gp.exact import pad_observations
+        from sober_tpu.gp.fbgp import FitboGP, RBFHyperPrior
+
+        x0, y0 = self._data(seed=3)
+        hp = RBFHyperPrior()
+        gp = FitboGP(x0, y0)
+        x_pad, y_pad, mask = pad_observations(x0, y0, 128)
+        state, alpha, fobs, tree = jax.jit(
+            fs._fbgp_fit_and_tree,
+            static_argnums=(7, 8, 9, 10, 11, 12))(
+            x_pad, y_pad, mask, hp.hypermu, hp.hyperstd, jax.random.key(5),
+            jax.random.key(6), gp.cfg, "lbfgs", 1.0, 100, 24, 10)
+
+        assert np.isclose(float(alpha), float(gp.alpha), rtol=1e-6)
+        assert np.allclose(np.asarray(fobs), np.asarray(gp.fobs_padded),
+                           atol=1e-6)
+        assert np.isclose(float(state.noise), float(gp.model.noise),
+                          rtol=0.05)
+        for name in ("lengthscale", "outputscale"):
+            assert np.allclose(
+                np.asarray(state.kernel.params[name]),
+                np.asarray(gp.model.kernel.params[name]), rtol=0.05), name
+        # the fbgp tree layout matches the staged _fbgp_tree layout
+        assert tree[0].shape == x_pad.shape
+        assert tree[1].shape == (10, 4)          # Theta_qd
+        assert tree[2].shape[0] == 10            # per-chain Cholesky
+        assert np.isclose(float(jnp.sum(tree[4])), 1.0, atol=1e-2)
+
+    def test_ard_mismatch_raises(self):
+        from sober_tpu.gp.fbgp import RBFHyperPrior
+
+        x0, y0 = self._data(seed=4)
+        bounds = jnp.stack([-jnp.ones(2), jnp.ones(2)])
+        sober = self._sober(x0, y0, Uniform(bounds))
+        with pytest.raises(ValueError, match="n_ls"):
+            sober.step_fbgp(x0, y0, RBFHyperPrior(n_ls=2), 512, 32, 4)
+
+    def test_gaussian_prior_entry(self):
+        from sober_tpu.priors.continuous import Gaussian
+        from sober_tpu.gp.fbgp import RBFHyperPrior
+
+        x0, y0 = self._data(seed=5)
+        prior = Gaussian(jnp.zeros(2), 0.5 * jnp.eye(2))
+        sober = self._sober(x0, y0, prior, seed=19)
+        xb = sober.step_fbgp(x0, y0, RBFHyperPrior(), 1024, 48, 8,
+                             n_hypers=100, n_nys_qd=24, n_qd=10)
+        assert "fused_iteration" in sober.last_timings
+        assert xb.shape == (8, 2) and bool(jnp.isfinite(xb).all())
