@@ -23,6 +23,9 @@ Prints one JSON line per metric (headline first):
      distillation + chain-cache build. The reference runs the sweep as a
      1001-iteration Python loop per refit
      (/root/reference/SOBER/FBGP/_fully_Bayesian_gp.py:179-245).
+  6. fbgp_full_iteration_1000hypers — the ENTIRE fully-Bayesian BO
+     iteration (WSABI base refit + the hyper pipeline above + candidate
+     pipeline + kernel recombination) as ONE dispatch via Sober.step_fbgp.
 
 vs_baseline for all three compares against the reference's best recorded
 full-iteration wall-clock, 4.898 s (tutorials/00 Quick start.ipynb stored
@@ -154,6 +157,38 @@ def bench_ising(n_rec=200000, n_nys=500, batch=100, n_obs=500):
     _emit("full_bo_iteration_200k_ising_d24", value)
 
 
+def bench_fbgp_step(n_obs=100, d=3, n_hypers=1000, n_nys_qd=100, n_qd=50,
+                    n_rec=8192, n_nys=256, batch=50):
+    """One FULL fully-Bayesian BO iteration as ONE dispatch
+    (Sober.step_fbgp): WSABI base MAP refit + 1001-theta hyperposterior
+    sweep + quadrature distillation + chain caches + candidate pipeline +
+    kernel recombination, at the tutorial-04 config. The reference runs
+    this as a per-hypersample Python loop inside a multi-stage host
+    iteration (SOBER/FBGP/_fully_Bayesian_gp.py:179-245 +
+    SOBER/_sober.py:125-195)."""
+    from sober_tpu import Sober
+    from sober_tpu.gp.fbgp import FitboGP, RBFHyperPrior, fbgp_refit
+    from sober_tpu.priors import Uniform
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-1, 1, (n_obs, d)), jnp.float32)
+    y = jnp.exp(-0.5 * jnp.sum((x / 0.6) ** 2, axis=1))
+    hp = RBFHyperPrior()
+    fbgp = fbgp_refit(FitboGP(x, y), hp, n_hypers=n_hypers, n_nys=n_nys_qd,
+                      n_qd=n_qd, key=jax.random.key(0))
+    bounds = jnp.stack([-jnp.ones(d), jnp.ones(d)])
+    sober = Sober(Uniform(bounds), fbgp, seed=0)
+
+    def iteration():
+        xb = sober.step_fbgp(x, y, hp, n_rec, n_nys, batch,
+                             n_hypers=n_hypers, n_nys_qd=n_nys_qd,
+                             n_qd=n_qd)
+        jax.block_until_ready(xb)
+
+    value = _median_time(iteration)
+    _emit("fbgp_full_iteration_1000hypers", value)
+
+
 def bench_fbgp(n_obs=100, d=3, n_hypers=1000, n_nys=100, n_qd=50):
     """The fully-Bayesian hyper pipeline at the tutorial-04 config
     (BASELINE.md: 1000 hypersamples -> distilled to 10-50, n_nys=100):
@@ -185,6 +220,7 @@ def main():
     bench_ising()
     bench_dataset()
     bench_fbgp()
+    bench_fbgp_step()
 
 
 if __name__ == "__main__":
