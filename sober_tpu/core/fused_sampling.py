@@ -370,6 +370,119 @@ def fused_candidates_cont_gauss(pi_tree, mu, chol, k_draw, k_update,
                            k_refill, k_nys, n_rec, n_nys, thresh, n_kde)
 
 
+def _tgauss_pipeline(pi, mu, chol, lb, ub, constant, prec, cond_sd,
+                     k_draw, k_update, k_refill, k_nys, n_rec: int,
+                     n_nys: int, thresh: int, n_kde: int, gibbs: bool,
+                     n_rounds: int, n_sweeps: int):
+    """Continuous domain, box-truncated Gaussian proposal -> WKDE update
+    (the wrapper's default SBI entry: TruncatedGaussian on the unit box,
+    apps/wrapper.py). Draws mirror TruncatedGaussian.sample exactly —
+    iterative rejection (static n_rounds) or the Gibbs chain (static
+    n_sweeps = burn_in + thin), selected by the prior's host-side
+    `_use_gibbs`. Returns (x_cand, x_nys, weights, wkde_params,
+    did_update)."""
+    d = mu.shape[0]
+    bounds = jnp.stack([lb, ub])
+
+    def inside(x):
+        return jnp.logical_and(jnp.all(x >= lb[None, :], axis=1),
+                               jnp.all(x <= ub[None, :], axis=1))
+
+    def draw_tg(k):
+        if gibbs:
+            from ..priors.tmvn import tmvn_gibbs_sample
+
+            x = tmvn_gibbs_sample(k, mu, prec, cond_sd, lb, ub, n_rec,
+                                  n_sweeps)
+        else:
+            def draw1(kk):
+                z = jax.random.normal(kk, (n_rec, d))
+                return mu[None, :] + z @ chol.T
+
+            def body(i, carry):
+                x, key = carry
+                key, sub = jax.random.split(key)
+                fresh = draw1(sub)
+                bad = ~inside(x)
+                return jnp.where(bad[:, None], fresh, x), key
+
+            key, sub = jax.random.split(k)
+            x = draw1(sub)
+            x, _ = jax.lax.fori_loop(0, n_rounds, body, (x, key))
+            x = jnp.clip(x, lb[None, :], ub[None, :])
+        base = jnp.exp(mvn_logpdf(x, mu, chol)) / constant
+        pdf = jnp.where(inside(x), base, 0.0)
+        return x, _pi_weights(pi, x, pdf)
+
+    x1, w1 = draw_tg(k_draw)
+    draw_with, update_on = _wkde_machinery(pi, bounds, n_rec, n_kde, d)
+    x, w, params, did, take_head = _cont_branches(
+        (x1, w1), draw_tg, update_on, draw_with, k_update, k_refill,
+        n_nys, thresh)
+    x_nys = _cont_select_nys(k_nys, x, w, take_head, n_nys)
+    return x, x_nys, w, params, did
+
+
+_TG_STATICS = ("n_rec", "n_nys", "thresh", "n_kde", "gibbs", "n_rounds",
+               "n_sweeps", "pi_apply")
+
+
+@partial(jax.jit, static_argnames=_TG_STATICS)
+def fused_candidates_cont_tgauss(pi_tree, mu, chol, lb, ub, constant, prec,
+                                 cond_sd, k_draw, k_update, k_refill,
+                                 k_nys, *, n_rec: int, n_nys: int,
+                                 thresh: int, n_kde: int, gibbs: bool,
+                                 n_rounds: int, n_sweeps: int,
+                                 pi_apply=lfi_apply):
+    """Jitted wrapper of _tgauss_pipeline (see its docstring)."""
+    return _tgauss_pipeline((pi_apply, pi_tree), mu, chol, lb, ub,
+                            constant, prec, cond_sd, k_draw, k_update,
+                            k_refill, k_nys, n_rec, n_nys, thresh, n_kde,
+                            gibbs, n_rounds, n_sweeps)
+
+
+@partial(jax.jit, static_argnames=_TG_STATICS + ("batch", "kernel_apply",
+                                                 "obj_apply"))
+def fused_iteration_cont_tgauss(pi_tree, mu, chol, lb, ub, constant, prec,
+                                cond_sd, k_draw, k_update, k_refill, k_nys,
+                                kernel_tree, *, n_rec: int, n_nys: int,
+                                thresh: int, n_kde: int, gibbs: bool,
+                                n_rounds: int, n_sweeps: int, batch: int,
+                                kernel_apply, obj_apply=None, obj_tree=None,
+                                pi_apply=lfi_apply):
+    """_tgauss_pipeline + kernel recombination, one program.
+
+    Returns (x_batch, w_rchq, wkde_params, did_update)."""
+    x, x_nys, w, params, did = _tgauss_pipeline(
+        (pi_apply, pi_tree), mu, chol, lb, ub, constant, prec, cond_sd,
+        k_draw, k_update, k_refill, k_nys, n_rec, n_nys, thresh, n_kde,
+        gibbs, n_rounds, n_sweeps)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
+                                    batch, obj_apply, obj_tree)
+    return x_batch, w_rchq, params, did
+
+
+@partial(jax.jit, static_argnames=("cfg", "optimiser", "batch",
+                                   "kernel_apply") + _TG_STATICS[:-1])
+def fused_bo_step_cont_tgauss(x_pad, y_pad, mask, mu, chol, lb, ub,
+                              constant, prec, cond_sd, k_draw, k_update,
+                              k_refill, k_nys, *, cfg, optimiser: str,
+                              n_rec: int, n_nys: int, thresh: int,
+                              n_kde: int, gibbs: bool, n_rounds: int,
+                              n_sweeps: int, batch: int, kernel_apply,
+                              params0=None):
+    """Refit + _tgauss_pipeline + recombination, one program.
+
+    Returns (state, x_batch, w_rchq, wkde_params, did_update)."""
+    state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser, params0)
+    x, x_nys, w, params, did = _tgauss_pipeline(
+        (lfi_apply, (state, eta)), mu, chol, lb, ub, constant, prec,
+        cond_sd, k_draw, k_update, k_refill, k_nys, n_rec, n_nys, thresh,
+        n_kde, gibbs, n_rounds, n_sweeps)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch)
+    return state, x_batch, w_rchq, params, did
+
+
 # ----------------------------------------------------------------------------
 # candidates + kernel recombination as ONE program (Sober.next_batch)
 # ----------------------------------------------------------------------------

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ..ops.kmeans import kmeans_resampling
 from ..priors.base import BasePrior
-from ..priors.continuous import Gaussian, Uniform
+from ..priors.continuous import Gaussian, TruncatedGaussian, Uniform
 from ..priors.discrete import (
     BinaryPrior,
     CategoricalPrior,
@@ -472,6 +472,27 @@ class EmpiricalSampler(RecombinationSampler):
                     **rc)
                 if bool(did):
                     self.prior = wkde_holder(params, None)
+                return tuple(out)
+
+            if type(prior) is TruncatedGaussian:
+                # the wrapper's default SBI entry (TruncatedGaussian on
+                # the normalized unit box, apps/wrapper.py)
+                if fstep:
+                    return None
+                fn = (fs.fused_bo_step_cont_tgauss if step
+                      else fs.fused_iteration_cont_tgauss
+                      if batch is not None
+                      else fs.fused_candidates_cont_tgauss)
+                k = [self.keys.next() for _ in range(4)]
+                *out, params, did = fn(
+                    *head, prior.mu, prior.chol, prior.bounds[0],
+                    prior.bounds[1], prior.constant, prior.tmvn.prec,
+                    prior.tmvn.cond_sd, *k, *tail, n_rec=n_rec,
+                    n_nys=n_nys, thresh=self.thresh_initial, n_kde=n_kde,
+                    gibbs=prior._use_gibbs, n_rounds=prior.n_rounds,
+                    n_sweeps=prior.tmvn.burn_in + prior.tmvn.thin, **rc)
+                if bool(did):
+                    self.prior = wkde_holder(params, prior.bounds)
                 return tuple(out)
 
         if self.label in ("categorical", "mixedbinary", "mixedcategorical"):

@@ -111,31 +111,50 @@ class TruncatedMVN:
 
     def _gibbs_sweep(self, x, u):
         """One full coordinate sweep for all chains. x: (n, d), u: (n, d)."""
-        def body(x, i):
-            p_row = self.prec[i]
-            # conditional mean (exclude own coordinate)
-            delta = (x - self.mu[None, :]) @ p_row
-            delta = delta - p_row[i] * (x[:, i] - self.mu[i])
-            m = self.mu[i] - delta / self.prec[i, i]
-            s = self.cond_sd[i]
-            alpha = (self.lb[i] - m) / s
-            beta = (self.ub[i] - m) / s
-            z = _sample_trunc_std_normal(alpha, beta, u[:, i])
-            return x.at[:, i].set(m + s * z), None
-
-        x, _ = jax.lax.scan(body, x, jnp.arange(self.d))
-        return x
+        return _gibbs_sweep(x, u, self.mu, self.prec, self.cond_sd,
+                            self.lb, self.ub)
 
     def sample(self, key, n_samples: int) -> jax.Array:
         """(n_samples, d) draws; one chain per sample, burn-in + thinning."""
-        x0 = jnp.clip(self.mu, self.lb, self.ub)
-        x = jnp.broadcast_to(x0, (n_samples, self.d))
-        n_sweeps = self.burn_in + self.thin
-        keys = jax.random.split(key, n_sweeps)
+        return tmvn_gibbs_sample(key, self.mu, self.prec, self.cond_sd,
+                                 self.lb, self.ub, n_samples,
+                                 self.burn_in + self.thin)
 
-        def body(x, k):
-            u = jax.random.uniform(k, (n_samples, self.d))
-            return self._gibbs_sweep(x, u), None
 
-        x, _ = jax.lax.scan(body, x, keys)
-        return x
+def _gibbs_sweep(x, u, mu, prec, cond_sd, lb, ub):
+    """One full coordinate sweep for all chains — pure function so the
+    fused candidate pipelines (core/fused_sampling.py) can trace the
+    sampler with the distribution as program ARGUMENTS rather than baked
+    constants."""
+    d = mu.shape[0]
+
+    def body(x, i):
+        p_row = prec[i]
+        # conditional mean (exclude own coordinate)
+        delta = (x - mu[None, :]) @ p_row
+        delta = delta - p_row[i] * (x[:, i] - mu[i])
+        m = mu[i] - delta / prec[i, i]
+        s = cond_sd[i]
+        alpha = (lb[i] - m) / s
+        beta = (ub[i] - m) / s
+        z = _sample_trunc_std_normal(alpha, beta, u[:, i])
+        return x.at[:, i].set(m + s * z), None
+
+    x, _ = jax.lax.scan(body, x, jnp.arange(d))
+    return x
+
+
+def tmvn_gibbs_sample(key, mu, prec, cond_sd, lb, ub, n_samples: int,
+                      n_sweeps: int) -> jax.Array:
+    """(n_samples, d) Gibbs draws; one chain per sample (the pure body of
+    TruncatedMVN.sample)."""
+    x0 = jnp.clip(mu, lb, ub)
+    x = jnp.broadcast_to(x0, (n_samples, mu.shape[0]))
+    keys = jax.random.split(key, n_sweeps)
+
+    def body(x, k):
+        u = jax.random.uniform(k, (n_samples, mu.shape[0]))
+        return _gibbs_sweep(x, u, mu, prec, cond_sd, lb, ub), None
+
+    x, _ = jax.lax.scan(body, x, keys)
+    return x

@@ -812,3 +812,76 @@ class TestStepFbgp:
                              n_hypers=100, n_nys_qd=24, n_qd=10)
         assert "fused_iteration" in sober.last_timings
         assert xb.shape == (8, 2) and bool(jnp.isfinite(xb).all())
+
+
+class TestTruncatedGaussianEntry:
+    """TruncatedGaussian-prior (the wrapper's default SBI entry) flows
+    through the fused pipelines, in both sampling regimes."""
+
+    def _prior_rejection(self):
+        from sober_tpu.priors.continuous import TruncatedGaussian
+
+        # box catches most of the mass -> iterative rejection regime
+        return TruncatedGaussian(
+            jnp.asarray([0.5, 0.5]), 0.3 * jnp.eye(2),
+            jnp.stack([jnp.zeros(2), jnp.ones(2)]))
+
+    def _prior_gibbs(self):
+        from sober_tpu.priors.continuous import TruncatedGaussian
+
+        # mean far outside the box -> tiny box probability -> Gibbs chain
+        return TruncatedGaussian(
+            jnp.asarray([3.0, 3.0]), 0.25 * jnp.eye(2),
+            jnp.stack([jnp.zeros(2), jnp.ones(2)]))
+
+    def test_regimes_cover_both_samplers(self):
+        assert not self._prior_rejection()._use_gibbs
+        assert self._prior_gibbs()._use_gibbs
+
+    @pytest.mark.parametrize("make", ["_prior_rejection", "_prior_gibbs"])
+    def test_matches_host_path(self, monkeypatch, make):
+        """Rejection regime: ulp agreement (the refilled pool rides the
+        WKDE refit, see TestGaussianEntry). Gibbs regime: distributional
+        agreement only — the chain's 30+ coordinate sweeps amplify the
+        eager-vs-traced fp divergence chaotically, so positions decorrelate
+        while staying equal in distribution."""
+        state = _gp_cont(seed=10)
+        sf = Sober(getattr(self, make)(), state, seed=37)
+        xf, nf, wf = sf.sampling_candidates(1024, 48)
+
+        _host_only(monkeypatch)
+        sh = Sober(getattr(self, make)(), state, seed=37)
+        xh, nh, wh = sh.sampling_candidates(1024, 48)
+
+        if make == "_prior_rejection":
+            assert np.allclose(np.asarray(xf), np.asarray(xh), atol=1e-5)
+            assert np.allclose(np.asarray(wf), np.asarray(wh), atol=1e-5)
+        else:
+            for x, w in ((xf, wf), (xh, wh)):
+                w = np.asarray(w)
+                assert (w >= 0).all() and np.isclose(w.sum(), 1.0,
+                                                     atol=1e-4)
+                assert bool(jnp.isfinite(x).all())
+            assert np.allclose(np.asarray(xf).mean(0),
+                               np.asarray(xh).mean(0), atol=0.1)
+            assert np.allclose(np.asarray(xf).std(0),
+                               np.asarray(xh).std(0), atol=0.1)
+        assert isinstance(sf.prior, WeightedKernelDensityEstimation)
+        assert sf.prior.bounds is not None
+
+    def test_next_batch_and_step_fuse(self):
+        state = _gp_cont(seed=11)
+        sober = Sober(self._prior_rejection(), state, seed=41)
+        xb = sober.next_batch(1024, 48, 8)
+        assert "fused_iteration" in sober.last_timings
+        assert xb.shape == (8, 2) and bool(jnp.isfinite(xb).all())
+        x = np.asarray(xb)
+        assert (x >= 0).all() and (x <= 1).all()
+
+        rng = np.random.default_rng(12)
+        x0 = jnp.asarray(rng.uniform(0, 1, (30, 2)), jnp.float32)
+        y0 = -jnp.sum((x0 - 0.3) ** 2, axis=1)
+        s2 = Sober(self._prior_rejection(), fit_gp(x0, y0), seed=43)
+        xb2 = s2.step(x0, y0, 1024, 48, 8)
+        assert "fused_iteration" in s2.last_timings
+        assert bool(jnp.isfinite(xb2).all())
