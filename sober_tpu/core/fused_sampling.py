@@ -395,21 +395,9 @@ def _tgauss_pipeline(pi, mu, chol, lb, ub, constant, prec, cond_sd,
             x = tmvn_gibbs_sample(k, mu, prec, cond_sd, lb, ub, n_rec,
                                   n_sweeps)
         else:
-            def draw1(kk):
-                z = jax.random.normal(kk, (n_rec, d))
-                return mu[None, :] + z @ chol.T
+            from ..priors.continuous import tgauss_reject_sample
 
-            def body(i, carry):
-                x, key = carry
-                key, sub = jax.random.split(key)
-                fresh = draw1(sub)
-                bad = ~inside(x)
-                return jnp.where(bad[:, None], fresh, x), key
-
-            key, sub = jax.random.split(k)
-            x = draw1(sub)
-            x, _ = jax.lax.fori_loop(0, n_rounds, body, (x, key))
-            x = jnp.clip(x, lb[None, :], ub[None, :])
+            x = tgauss_reject_sample(k, mu, chol, lb, ub, n_rec, n_rounds)
         base = jnp.exp(mvn_logpdf(x, mu, chol)) / constant
         pdf = jnp.where(inside(x), base, 0.0)
         return x, _pi_weights(pi, x, pdf)
@@ -1007,17 +995,20 @@ def _fbgp_fit_and_tree(x_pad, y_pad, mask, hypermu, hyperstd, k_hyper,
 
 _FBGP_STEP_STATICS = ("cfg", "optimiser", "alpha_factor", "n_hypers",
                       "n_nys_qd", "n_qd", "n_rec", "n_nys", "thresh",
-                      "n_kde", "batch")
+                      "n_kde", "batch", "acq_apply")
 
 
-def _fbgp_step_out(tree, state, alpha, fobs, x_batch, w_rchq, *tail):
+def _fbgp_step_out(tree, alpha, fobs, x_batch, w_rchq, *tail):
     """Flatten a step result to (fbgp parts..., x_batch, w_rchq, *tail);
     `tail` matches each proposal family's trailing outputs ((params, did)
     for uniform/gauss, (params_out,) for wkde) so the shared dispatch
     branches unpack identically across the exact-GP and FBGP step
-    programs."""
+    programs. The base GPState is deliberately NOT an output — the host
+    only keeps the FBGP tree, and materializing the unused O(n_pad^2)
+    posterior caches as program outputs would cost device memory for
+    nothing."""
     x_pad, theta_qd, chol, alpha_ch, w_qd, mask = tree
-    return (state, alpha, fobs, w_qd, theta_qd, chol, alpha_ch,
+    return (alpha, fobs, w_qd, theta_qd, chol, alpha_ch,
             x_batch, w_rchq) + tail
 
 
@@ -1029,10 +1020,13 @@ def fused_fbgp_step_cont_uniform(x_pad, y_pad, mask, hypermu, hyperstd,
                                  alpha_factor: float, n_hypers: int,
                                  n_nys_qd: int, n_qd: int, n_rec: int,
                                  n_nys: int, thresh: int, n_kde: int,
-                                 qmc: bool, batch: int):
+                                 qmc: bool, batch: int, acq_apply=None):
     """WSABI fit + hyper pipeline + _uniform_pipeline + recombination, one
-    program. Returns (state, alpha, fobs, w_qd, theta_qd, chol, alpha_ch,
-    x_batch, w_rchq, wkde_params, did_update)."""
+    program. `acq_apply` is an optional FBGP acquisition apply
+    (gp/fbgp.py:_fbgp_acq_*): the augmented objective row is then computed
+    on the FRESH post-refit tree (strictly newer than the staged flow's
+    pre-refit calc_obj). Returns (alpha, fobs, w_qd, theta_qd, chol,
+    alpha_ch, x_batch, w_rchq, wkde_params, did_update)."""
     from ..gp.fbgp import _fbgp_cov_apply, fbgp_pi_apply
 
     state, alpha, fobs, tree = _fbgp_fit_and_tree(
@@ -1041,10 +1035,10 @@ def fused_fbgp_step_cont_uniform(x_pad, y_pad, mask, hypermu, hyperstd,
     x, x_nys, w, params, did = _uniform_pipeline(
         (fbgp_pi_apply, tree), bounds, sobol_state, sobol_offset, k_draw,
         k_update, k_refill, k_nys, n_rec, n_nys, thresh, n_kde, qmc)
-    x_batch, w_rchq, _ = _recombine(x, x_nys, w, tree, _fbgp_cov_apply,
-                                    batch)
-    return _fbgp_step_out(tree, state, alpha, fobs, x_batch, w_rchq,
-                          params, did)
+    x_batch, w_rchq, _ = _recombine(
+        x, x_nys, w, tree, _fbgp_cov_apply, batch, acq_apply,
+        tree if acq_apply is not None else None)
+    return _fbgp_step_out(tree, alpha, fobs, x_batch, w_rchq, params, did)
 
 
 @partial(jax.jit, static_argnames=_FBGP_STEP_STATICS)
@@ -1054,9 +1048,9 @@ def fused_fbgp_step_cont_wkde(x_pad, y_pad, mask, hypermu, hyperstd,
                               optimiser: str, alpha_factor: float,
                               n_hypers: int, n_nys_qd: int, n_qd: int,
                               n_rec: int, n_nys: int, thresh: int,
-                              n_kde: int, batch: int):
+                              n_kde: int, batch: int, acq_apply=None):
     """WSABI fit + hyper pipeline + _wkde_pipeline + recombination, one
-    program. Returns (state, alpha, fobs, w_qd, theta_qd, chol, alpha_ch,
+    program. Returns (alpha, fobs, w_qd, theta_qd, chol, alpha_ch,
     x_batch, w_rchq, params_out)."""
     from ..gp.fbgp import _fbgp_cov_apply, fbgp_pi_apply
 
@@ -1066,10 +1060,10 @@ def fused_fbgp_step_cont_wkde(x_pad, y_pad, mask, hypermu, hyperstd,
     x, x_nys, w, params_out = _wkde_pipeline(
         (fbgp_pi_apply, tree), params_old, bounds, k_draw, k_update,
         k_refill, k_nys, n_rec, n_nys, thresh, n_kde)
-    x_batch, w_rchq, _ = _recombine(x, x_nys, w, tree, _fbgp_cov_apply,
-                                    batch)
-    return _fbgp_step_out(tree, state, alpha, fobs, x_batch, w_rchq,
-                          params_out)
+    x_batch, w_rchq, _ = _recombine(
+        x, x_nys, w, tree, _fbgp_cov_apply, batch, acq_apply,
+        tree if acq_apply is not None else None)
+    return _fbgp_step_out(tree, alpha, fobs, x_batch, w_rchq, params_out)
 
 
 @partial(jax.jit, static_argnames=_FBGP_STEP_STATICS)
@@ -1079,9 +1073,9 @@ def fused_fbgp_step_cont_gauss(x_pad, y_pad, mask, hypermu, hyperstd,
                                optimiser: str, alpha_factor: float,
                                n_hypers: int, n_nys_qd: int, n_qd: int,
                                n_rec: int, n_nys: int, thresh: int,
-                               n_kde: int, batch: int):
+                               n_kde: int, batch: int, acq_apply=None):
     """WSABI fit + hyper pipeline + _gauss_pipeline + recombination, one
-    program. Returns (state, alpha, fobs, w_qd, theta_qd, chol, alpha_ch,
+    program. Returns (alpha, fobs, w_qd, theta_qd, chol, alpha_ch,
     x_batch, w_rchq, wkde_params, did_update)."""
     from ..gp.fbgp import _fbgp_cov_apply, fbgp_pi_apply
 
@@ -1091,10 +1085,10 @@ def fused_fbgp_step_cont_gauss(x_pad, y_pad, mask, hypermu, hyperstd,
     x, x_nys, w, params, did = _gauss_pipeline(
         (fbgp_pi_apply, tree), mu, chol_prior, k_draw, k_update, k_refill,
         k_nys, n_rec, n_nys, thresh, n_kde)
-    x_batch, w_rchq, _ = _recombine(x, x_nys, w, tree, _fbgp_cov_apply,
-                                    batch)
-    return _fbgp_step_out(tree, state, alpha, fobs, x_batch, w_rchq,
-                          params, did)
+    x_batch, w_rchq, _ = _recombine(
+        x, x_nys, w, tree, _fbgp_cov_apply, batch, acq_apply,
+        tree if acq_apply is not None else None)
+    return _fbgp_step_out(tree, alpha, fobs, x_batch, w_rchq, params, did)
 
 
 @partial(jax.jit, static_argnames=("cfg", "optimiser", "n_rec", "n_nys",

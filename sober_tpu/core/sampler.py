@@ -130,15 +130,17 @@ class EmpiricalSampler(RecombinationSampler):
     def initialise_prior(self):
         """Reset the proposal to the original domain prior
         (SOBER/_sampler.py:87-111). Reconstructed from the ORIGINAL
-        prior's attributes rather than the current proposal's (the
-        reference reads them off the current proposal, which crashes for
-        Gaussian-family flows once the proposal is a bounds-less WKDE);
-        identical semantics in every reference-supported flow. Gaussian /
-        TruncatedGaussian originals are stateless samplers, so the reset
-        reuses the object itself."""
+        prior's attributes rather than the current proposal's. Continuous
+        flows whose original prior carries bounds (Uniform,
+        TruncatedGaussian) reset to Uniform over the box exactly like the
+        reference (broad re-exploration on stagnation); a bounds-less
+        Gaussian original is restored as-is — the reference crashes there
+        (Uniform(self.prior.bounds) on the Gaussian-descended bounds-less
+        WKDE proposal, SOBER/_sampler.py:92)."""
         p = self.prior_initial
         if self.label == "continuous":
-            self.prior = Uniform(p.bounds) if isinstance(p, Uniform) else p
+            bounds = getattr(p, "bounds", None)
+            self.prior = p if bounds is None else Uniform(bounds)
         elif self.label == "binary":
             self.prior = BinaryPrior(p.n_dims)
         elif self.label == "categorical":

@@ -341,7 +341,7 @@ class Sober(EmpiricalSampler):
                   n_nys_qd: int = 100, n_qd: int = 50, cfg=None,
                   optimiser: str = "lbfgs", alpha_factor: float = 1.0,
                   bucket: int = 128, recycle_prior: bool = True,
-                  return_weights: bool = False):
+                  return_weights: bool = False, calc_obj=None):
         """One-program fully-Bayesian BO iteration — the FBGP analogue of
         `step`: WSABI-warped base MAP refit + hyperposterior LML sweep +
         quadrature distillation + chain-cache build + candidate pipeline +
@@ -352,18 +352,34 @@ class Sober(EmpiricalSampler):
 
         hyperprior: gp.fbgp.RBFHyperPrior; its n_ls must match the base
         config (1 isotropic, d for cfg.ard). cfg defaults to FitboGP's
-        fit config. Proposal families outside the fused continuous
-        entries (discrete/mixed/dataset domains) fall back to the staged
-        flow: FitboGP + fbgp_refit + update_model + next_batch.
+        fit config. calc_obj: an FBGP acquisition label ("EI"/"UCB"/
+        "MES"/"BQBC"/"QBMGP") or an FBGPAcquisitionFunction (its label is
+        used) — the augmented objective row is computed on the FRESH
+        post-refit hyperposterior inside the same program (the staged
+        flow can only augment with the pre-refit model). Proposal
+        families outside the fused continuous entries (discrete/mixed/
+        dataset domains) fall back to the staged flow: FitboGP +
+        fbgp_refit + update_model + next_batch.
 
         No reference analogue: the reference's FBGP loop rebuilds a
         gpytorch model per hypersample in Python per refit
         (SOBER/FBGP/_fully_Bayesian_gp.py:179-245) on top of the staged
         host pipeline (SOBER/_sober.py:125-195)."""
         from ..gp.exact import pad_observations
-        from ..gp.fbgp import (FitboGP, FullyBayesianGP, _ChainCache,
-                               _VBQ_CFG, fbgp_refit)
+        from ..gp.fbgp import (FBGPAcquisitionFunction, FitboGP,
+                               FullyBayesianGP, _ChainCache, _VBQ_CFG,
+                               fbgp_refit)
 
+        acq_label = getattr(calc_obj, "label", calc_obj)
+        if acq_label is not None:
+            if acq_label not in FBGPAcquisitionFunction.LABELS:
+                raise ValueError(
+                    f"calc_obj must be one of "
+                    f"{FBGPAcquisitionFunction.LABELS} (or an "
+                    f"FBGPAcquisitionFunction); got {calc_obj!r}")
+            acq_apply = FBGPAcquisitionFunction._APPLIES[acq_label]
+        else:
+            acq_apply = None
         if cfg is None:
             # FitboGP's default fit config (same numbers as the
             # hyper-surrogate's _VBQ_CFG: rbf, noise in [1e-11, 1e-9],
@@ -387,20 +403,25 @@ class Sober(EmpiricalSampler):
                 self.keys.next(), self.keys.next())
         statics = dict(cfg=cfg, optimiser=optimiser,
                        alpha_factor=alpha_factor, n_hypers=n_hypers,
-                       n_nys_qd=n_nys_qd, n_qd=n_qd)
+                       n_nys_qd=n_nys_qd, n_qd=n_qd, acq_apply=acq_apply)
         out = self._fused_dispatch(n_rec, n_nys, batch_size,
                                    fbgp_fit=(data, statics))
         if out is None:
-            gp = FitboGP(x_obs, y_obs, optimiser=optimiser, bucket=bucket,
-                         ard=cfg.ard)
+            # staged fallback (unsupported proposal family); FitboGP's own
+            # defaults stand in for cfg's kernel/noise/fit-iter details
+            gp = FitboGP(x_obs, y_obs, alpha_factor=alpha_factor,
+                         optimiser=optimiser, bucket=bucket, ard=cfg.ard,
+                         fit_iters=cfg.fit_iters)
             fbgp = fbgp_refit(gp, hyperprior, n_hypers=n_hypers,
                               n_nys=n_nys_qd, n_qd=n_qd,
                               key=self.keys.next())
             self.update_model(fbgp)
-            return self.next_batch(n_rec, n_nys, batch_size,
+            obj = (None if acq_label is None
+                   else FBGPAcquisitionFunction(fbgp, acq_label))
+            return self.next_batch(n_rec, n_nys, batch_size, calc_obj=obj,
                                    return_weights=return_weights,
                                    recycle_prior=recycle_prior)
-        (state, alpha, fobs, w_qd, theta_qd, chol, alpha_ch, x_batch,
+        (alpha, fobs, w_qd, theta_qd, chol, alpha_ch, x_batch,
          w_rchq) = out
         fbgp = FullyBayesianGP.from_arrays(
             x_pad, fobs, mask, alpha, w_qd, theta_qd,

@@ -124,29 +124,44 @@ class TruncatedGaussian(BasePrior):
         )
 
     def sample(self, key, n: int) -> jax.Array:
-        lo, hi = self.bounds[0], self.bounds[1]
         if self._use_gibbs:
             return self.tmvn.sample(key, n)
-
-        def draw(k):
-            z = jax.random.normal(k, (n, self.n_dims))
-            return self.mu[None, :] + z @ self.chol.T
-
-        def body(i, carry):
-            x, key = carry
-            key, sub = jax.random.split(key)
-            fresh = draw(sub)
-            bad = ~self._inside(x)
-            x = jnp.where(bad[:, None], fresh, x)
-            return x, key
-
-        key, sub = jax.random.split(key)
-        x = draw(sub)
-        x, _ = jax.lax.fori_loop(0, self.n_rounds, body, (x, key))
-        # last-resort clip (reference warns and returns fewer samples,
-        # SOBER/_tmvn.py:113-119)
-        return jnp.clip(x, lo[None, :], hi[None, :])
+        return tgauss_reject_sample(key, self.mu, self.chol,
+                                    self.bounds[0], self.bounds[1], n,
+                                    self.n_rounds)
 
     def pdf(self, x) -> jax.Array:
         base = jnp.exp(mvn_logpdf(x, self.mu, self.chol)) / self.constant
         return jnp.where(self._inside(x), base, 0.0)
+
+
+def tgauss_reject_sample(key, mu, chol, lb, ub, n: int,
+                         n_rounds: int) -> jax.Array:
+    """Iterative-rejection draws from a box-truncated Gaussian — the pure
+    body of TruncatedGaussian.sample's high-acceptance branch, shared with
+    the fused candidate pipelines (core/fused_sampling.py) so both paths
+    stay key-split-for-key-split identical. Rows still outside after
+    n_rounds are clipped (the reference warns and returns fewer samples,
+    SOBER/_tmvn.py:113-119)."""
+    d = mu.shape[0]
+
+    def draw(k):
+        z = jax.random.normal(k, (n, d))
+        return mu[None, :] + z @ chol.T
+
+    def inside(x):
+        return jnp.logical_and(
+            jnp.all(x >= lb[None, :], axis=1),
+            jnp.all(x <= ub[None, :], axis=1))
+
+    def body(i, carry):
+        x, key = carry
+        key, sub = jax.random.split(key)
+        fresh = draw(sub)
+        bad = ~inside(x)
+        return jnp.where(bad[:, None], fresh, x), key
+
+    key, sub = jax.random.split(key)
+    x = draw(sub)
+    x, _ = jax.lax.fori_loop(0, n_rounds, body, (x, key))
+    return jnp.clip(x, lb[None, :], ub[None, :])

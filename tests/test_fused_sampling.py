@@ -885,3 +885,23 @@ class TestTruncatedGaussianEntry:
         xb2 = s2.step(x0, y0, 1024, 48, 8)
         assert "fused_iteration" in s2.last_timings
         assert bool(jnp.isfinite(xb2).all())
+
+def test_step_fbgp_calc_obj_fused():
+    """step_fbgp calc_obj label: the acquisition row is computed on the
+    FRESH post-refit tree inside the program."""
+    from sober_tpu.gp.fbgp import FitboGP, RBFHyperPrior, fbgp_refit
+
+    rng = np.random.default_rng(6)
+    x0 = jnp.asarray(rng.uniform(-1, 1, (30, 2)), jnp.float32)
+    y0 = jnp.exp(-0.5 * jnp.sum((x0 / 0.6) ** 2, axis=1))
+    fbgp = fbgp_refit(FitboGP(x0, y0), RBFHyperPrior(), n_hypers=50,
+                      n_nys=16, n_qd=8, key=jax.random.key(0))
+    bounds = jnp.stack([-jnp.ones(2), jnp.ones(2)])
+    sober = Sober(Uniform(bounds), fbgp, seed=47)
+    hp = RBFHyperPrior()
+    xb = sober.step_fbgp(x0, y0, hp, 1024, 48, 8, n_hypers=100,
+                         n_nys_qd=24, n_qd=10, calc_obj="MES")
+    assert "fused_iteration" in sober.last_timings
+    assert xb.shape == (8, 2) and bool(jnp.isfinite(xb).all())
+    with pytest.raises(ValueError, match="calc_obj"):
+        sober.step_fbgp(x0, y0, hp, 512, 32, 4, calc_obj="nope")
