@@ -33,6 +33,13 @@ outputs, BASELINE.md) — measured there at batch=30, n_rec=20k on CPU. Every
 config here is substantially heavier than that measurement, so the ratios
 understate the true speedup (the reference records no wall-clock at these
 scales; SURVEY.md §6).
+
+The exact-GP iterations (1-3) measure the STEADY STATE of a BO loop: the
+in-program MAP refit is warm-started from hypers fitted at the previous
+iteration (on the data minus the newest batch). This matches the
+reference, whose `optimize_model` refits the same GPyTorch model object
+in place every iteration and therefore always starts from the current
+hypers (/root/reference/SOBER/_sober_wrapper.py:640-652).
 """
 import json
 import time
@@ -79,12 +86,21 @@ def bench_fused(n_cand, n_nys, batch, d, metric, n_obs=500):
     prior_pdf = jnp.full((n_cand,), 1.0 / 2.0**d)
     cfg = GPConfig(fit_iters=100)
 
+    # Steady-state BO iteration: the refit is warm-started from the hypers
+    # fitted at the PREVIOUS iteration (the data minus the newest batch) —
+    # exactly what the reference does, which refits the same GPyTorch model
+    # object in place every iteration (SOBER/_sober_wrapper.py:640-652).
+    x_prev, y_prev = x_obs[:n_obs - batch], y_obs[:n_obs - batch]
+    params_prev = fit_params(
+        x_prev, (y_prev - y_prev.mean()) / y_prev.std(ddof=1), cfg)
+
     @jax.jit
-    def full_iteration(x_obs, y_obs, x_cand, x_nys, prior_pdf):
+    def full_iteration(x_obs, y_obs, x_cand, x_nys, prior_pdf, params_prev):
         y_std = (y_obs - y_obs.mean()) / y_obs.std(ddof=1)
         # default optimiser ladder (L-BFGS with Adam fallback), the same
-        # path fit_gp takes
-        params = fit_params(x_obs, y_std, cfg)
+        # path fit_gp takes; plateau early-stop makes the warm-started
+        # refit converge in a few live steps
+        params = fit_params(x_obs, y_std, cfg, params0=params_prev)
         state = build_state(params, x_obs, y_obs, cfg)
         eta = posterior_max_mean(state)
         idx, w, _ = fused_acquisition(state, eta, x_cand, x_nys, prior_pdf,
@@ -92,11 +108,11 @@ def bench_fused(n_cand, n_nys, batch, d, metric, n_obs=500):
         return idx, w
 
     idx, w = jax.block_until_ready(
-        full_iteration(x_obs, y_obs, x_cand, x_nys, prior_pdf))
+        full_iteration(x_obs, y_obs, x_cand, x_nys, prior_pdf, params_prev))
     assert bool(jnp.all(w >= 0)) and abs(float(w.sum()) - 1.0) < 1e-2
 
     value = _median_time(lambda: jax.block_until_ready(
-        full_iteration(x_obs, y_obs, x_cand, x_nys, prior_pdf)))
+        full_iteration(x_obs, y_obs, x_cand, x_nys, prior_pdf, params_prev)))
     _emit(metric, value)
 
 
@@ -146,11 +162,20 @@ def bench_ising(n_rec=200000, n_nys=500, batch=100, n_obs=500):
     prior, fn = setup_ising()
     x_all = prior.sample(keys.next(), n_obs)
     y_all = fn(x_all)
-    model = fit_gp_padded(x_all, y_all)
+    # steady state: the current model was fitted at the previous iteration
+    # (data minus the newest batch); the measured step refits on the full
+    # data warm-started from it, as the reference does in place every
+    # iteration (SOBER/_sober_wrapper.py:640-652)
+    model = fit_gp_padded(x_all[:n_obs - batch], y_all[:n_obs - batch])
     sober = Sober(prior, model, seed=0)
 
     def iteration():
-        xb = sober.step(x_all, y_all, n_rec, n_nys, batch)
+        # re-pin the previous-iteration model so every timed step is a
+        # genuine warm-started refit on grown data (step calls update_model
+        # on its result, which would otherwise degenerate the steady state
+        # into refitting already-converged hypers)
+        sober.update_model(model)
+        xb = sober.step(x_all, y_all, n_rec, n_nys, batch, warm_start=True)
         jax.block_until_ready(xb)
 
     value = _median_time(iteration)
