@@ -27,7 +27,7 @@ Prints one JSON line per metric (headline first):
      iteration (WSABI base refit + the hyper pipeline above + candidate
      pipeline + kernel recombination) as ONE dispatch via Sober.step_fbgp.
 
-vs_baseline for all three compares against the reference's best recorded
+vs_baseline for every row compares against the reference's best recorded
 full-iteration wall-clock, 4.898 s (tutorials/00 Quick start.ipynb stored
 outputs, BASELINE.md) — measured there at batch=30, n_rec=20k on CPU. Every
 config here is substantially heavier than that measurement, so the ratios

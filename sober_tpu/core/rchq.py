@@ -63,7 +63,9 @@ def _use_pallas_car() -> bool:
     if os.environ.get("SOBER_TPU_PALLAS_CAR", "1") == "0":
         return False
     try:
-        return jax.default_backend() not in ("cpu",)
+        # strictly TPU: the kernel's pltpu.VMEM block specs only lower via
+        # Mosaic — on CUDA/ROCm/METAL backends the XLA loop is the safe path
+        return jax.default_backend() == "tpu"
     except Exception:
         return False
 
@@ -83,7 +85,10 @@ def nystrom_basis(k_nys: jax.Array, n_test: int) -> jax.Array:
     them for their captured neighbours changes the worst-case integration
     error by O(1%). Moment matching on the span actually used is exact by
     construction either way. Exact path can be forced with
-    SOBER_TPU_EXACT_EIGH=1."""
+    SOBER_TPU_EXACT_EIGH=1 — read at TRACE time, like SOBER_TPU_PALLAS_CAR:
+    set it before the first recombination at a given shape, or
+    jax.clear_caches() after flipping it (the jit cache key doesn't include
+    env vars, so already-compiled programs keep their traced choice)."""
     import os
 
     n_nys = k_nys.shape[0]
@@ -347,15 +352,35 @@ def _reduce_tree(phi_ext: jax.Array, obj_ext: Optional[jax.Array],
     # slot (initial slots are distinct, later rounds keep subsets), so the
     # scatter-back + pool-wide top_k the callers used to do is redundant —
     # only dummy slots repeat, and they carry zero weight by construction
-    w_kept, kept = jax.lax.top_k(mu_out, n_keep)
-    idx_kept = slots[kept]
+    _, order = jax.lax.top_k(mu_out, m)                    # full descending
+    slots_ord = slots[order]
+    w_kept = mu_out[order[:n_keep]]
+    idx_kept = slots_ord[:n_keep]
     w_kept = jnp.where(idx_kept == dummy, 0.0, w_kept)
     total = jnp.sum(w_kept)
     w_kept = jnp.where(total > 0,
                        w_kept / jnp.where(total > 0, total, 1.0), w_kept)
-    # dummy survivors (possible only when fewer than n_keep support points
-    # are needed) are remapped to index 0 with weight 0
-    idx_kept = jnp.where(idx_kept == dummy, 0, idx_kept).astype(jnp.int32)
+    # Dummy survivors (possible only when fewer than n_keep support points
+    # are needed) carry zero weight; give them DISTINCT pool indices so
+    # callers that consume indices (dataset removal) never double-process a
+    # row: backfill from the non-kept non-dummy slots — disjoint from the
+    # kept ones since non-dummy slot entries are all distinct. If even
+    # those run out (pool smaller than the batch), the leftovers repeat
+    # the highest-weight index with weight 0.
+    is_dummy = idx_kept == dummy
+    repl = slots_ord[n_keep:]                              # (m - n_keep,)
+    repl_valid = repl != dummy
+    n_repl = m - n_keep
+    compact = jnp.zeros((max(n_repl, 1),), slots.dtype).at[
+        jnp.where(repl_valid, jnp.cumsum(repl_valid) - 1, n_repl)
+    ].set(repl, mode="drop")
+    n_valid = jnp.sum(repl_valid)
+    rank = jnp.cumsum(is_dummy) - 1                        # (n_keep,)
+    last_resort = jnp.where(idx_kept[0] == dummy, 0, idx_kept[0])
+    fallback = jnp.where(rank < n_valid,
+                         compact[jnp.minimum(rank, n_repl - 1)],
+                         last_resort)
+    idx_kept = jnp.where(is_dummy, fallback, idx_kept).astype(jnp.int32)
     return idx_kept, w_kept
 
 
@@ -419,14 +444,10 @@ def recombination(pts_rec: jax.Array, pts_nys: jax.Array, num_pts: int,
     (a module-level apply function + a parameter pytree), in which case the
     compiled program is reused across model refits — essential for the BO
     loop, which builds a fresh kernel adapter every iteration."""
-    if hasattr(kernel, "rc_apply"):
-        k_apply, k_tree = kernel.rc_apply, kernel.rc_tree
-    else:
-        k_apply, k_tree = None, None
-    if calc_obj is not None and hasattr(calc_obj, "rc_apply"):
-        o_apply, o_tree = calc_obj.rc_apply, calc_obj.rc_tree
-    else:
-        o_apply, o_tree = None, None
+    from .rckernel import resolve_rc
+
+    k_apply, k_tree = resolve_rc(kernel)
+    o_apply, o_tree = resolve_rc(calc_obj)
 
     if k_apply is not None and (calc_obj is None or o_apply is not None):
         return _recombination_core(pts_rec, pts_nys, k_tree, init_weights,

@@ -35,6 +35,25 @@ _APPLY = {
 }
 
 
+def resolve_rc(obj, fallback_to_closure: bool = False):
+    """Resolve an rc stable-callable to its (apply, tree) pair.
+
+    The single home of the protocol check (CLAUDE.md jit-cache-stability
+    rules): protocol objects split into a module-level apply + a pytree so
+    jitted programs are reused across refits. `fallback_to_closure=True`
+    wraps a bare callable as `(lambda _, x: obj(x), None)` — jit-cache-
+    UNSTABLE (recompiles per object identity), used by the mesh paths that
+    accept ad-hoc objectives; callers that have a cheaper non-fused
+    fallback should leave it False and branch on (None, None)."""
+    if obj is None:
+        return None, None
+    if hasattr(obj, "rc_apply"):
+        return obj.rc_apply, obj.rc_tree
+    if fallback_to_closure:
+        return (lambda _, x: obj(x)), None
+    return None, None
+
+
 class RecombinationKernel:
     """Callable Gram adapter (SOBER/_kernel.py:4-47).
 

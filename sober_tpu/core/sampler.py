@@ -417,12 +417,8 @@ class EmpiricalSampler(RecombinationSampler):
             n_kde = min(4096, n_rec)
 
             def wkde_holder(params, bounds):
-                new = object.__new__(WeightedKernelDensityEstimation)
-                new.n_dims = prior.n_dims
-                new.bounds = bounds
-                new.n_kde = n_kde
-                new._params = params
-                return new
+                return WeightedKernelDensityEstimation.from_params(
+                    params, prior.n_dims, bounds, n_kde)
 
             if (type(prior) is WeightedKernelDensityEstimation
                     and prior._params["x_obs"].shape[0] == n_kde):
@@ -576,12 +572,8 @@ class EmpiricalSampler(RecombinationSampler):
             return BinaryPrior(spec.nd, probs=dt)
 
         def wkde_holder(params_c):
-            new = object.__new__(WeightedKernelDensityEstimation)
-            new.n_dims = spec.nc
-            new.bounds = cont_prior.bounds
-            new.n_kde = n_kde
-            new._params = params_c
-            return new
+            return WeightedKernelDensityEstimation.from_params(
+                params_c, spec.nc, cont_prior.bounds, n_kde)
 
         if label == "categorical":
             # disc_out was old-vs-new selected on device: rebuild always
@@ -606,11 +598,17 @@ class EmpiricalSampler(RecombinationSampler):
     def sampling_candidates(self, n_rec: int, n_nys: int,
                             verbose: bool = False):
         """Full pipeline: draw -> update prior -> redraw -> Nystrom subset
-        (SOBER/_sampler.py:263-323)."""
+        (SOBER/_sampler.py:263-323).
+
+        verbose=True keeps the staged path (matching next_batch's guard at
+        core/sober.py:190): the fused program hides the per-stage weight-
+        health branch, self.flag and the thresh state machine that the
+        staged diagnostics report."""
         assert n_rec > n_nys
-        fused = self._fused_candidates(n_rec, n_nys)
-        if fused is not None:
-            return fused
+        if not verbose:
+            fused = self._fused_candidates(n_rec, n_nys)
+            if fused is not None:
+                return fused
 
         # the reference retries recursive_sampling up to self.thresh times
         # (n_nys after the prior update — SOBER/_sampler.py:292-315); round-1

@@ -25,6 +25,7 @@ from jax import shard_map
 
 from ..gp.exact import GPState, predictive_covariance
 from ..core.pi import lfi
+from ..core.rckernel import resolve_rc
 
 
 
@@ -183,12 +184,7 @@ def sharded_recombination(mesh: Mesh, kernel, x_cand: jax.Array,
         k_apply, k_tree = kernel.rc_apply, kernel.rc_tree
     else:
         k_apply, k_tree = (lambda _, x, y: kernel(x, y)), None
-    if calc_obj is None:
-        o_apply, o_tree = None, None
-    elif hasattr(calc_obj, "rc_apply"):
-        o_apply, o_tree = calc_obj.rc_apply, calc_obj.rc_tree
-    else:
-        o_apply, o_tree = (lambda _, x: calc_obj(x)), None
+    o_apply, o_tree = resolve_rc(calc_obj, fallback_to_closure=True)
 
     if x_nys.shape[0] < num_pts:
         raise ValueError(
@@ -270,12 +266,7 @@ def sharded_acquisition(mesh: Mesh, state: GPState, eta: jax.Array,
     _, eigvecs = jnp.linalg.eigh(k_nys)
     u = eigvecs[:, -n_test:].T                              # (n_test, n_nys)
 
-    if calc_obj is None:
-        o_apply, o_tree = None, None
-    elif hasattr(calc_obj, "rc_apply"):
-        o_apply, o_tree = calc_obj.rc_apply, calc_obj.rc_tree
-    else:
-        o_apply, o_tree = (lambda _, x: calc_obj(x)), None
+    o_apply, o_tree = resolve_rc(calc_obj, fallback_to_closure=True)
     use_obj = calc_obj is not None
 
     def block(state, eta, o_tree, u, x_nys, x_blk, pdf_blk):

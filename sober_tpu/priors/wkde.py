@@ -132,6 +132,20 @@ class WeightedKernelDensityEstimation(BasePrior):
                                  jnp.asarray(w).reshape(-1),
                                  self.n_kde, bw_method, n_dims)
 
+    @classmethod
+    def from_params(cls, params, n_dims: int, bounds, n_kde: int):
+        """Wrap an on-device _wkde_fit params pytree without refitting —
+        the fused pipelines (core/fused_sampling.py) return updated proposal
+        params from inside the traced program and rebuild the host object
+        with zero fetches. Single source of the attribute contract; keep in
+        sync with __init__."""
+        new = object.__new__(cls)
+        new.n_dims = n_dims
+        new.bounds = bounds
+        new.n_kde = n_kde
+        new._params = params
+        return new
+
     # attribute views kept for parity with the reference object
     @property
     def x_obs(self):

@@ -181,3 +181,44 @@ class TestReferenceParityEdges:
         w, xb = sober.next_batch(512, 64, 8, return_weights=True)
         assert w.shape == (8,)
         assert abs(float(w.sum()) - 1.0) < 1e-3
+
+
+class TestProtocolHelpers:
+    def test_resolve_rc(self):
+        """Single home of the rc stable-callable resolution (CLAUDE.md
+        jit-cache rules): protocol objects split into (apply, tree); bare
+        callables resolve to (None, None) unless a closure fallback is
+        requested."""
+        from sober_tpu.core.rckernel import resolve_rc
+
+        sober, prior, model = _sober_on_branin()
+        rk = RecombinationKernel(model)
+        apply_fn, tree = resolve_rc(rk)
+        assert apply_fn is rk.rc_apply and tree is model
+        assert resolve_rc(None) == (None, None)
+        bare = lambda x: jnp.sum(x, axis=-1)
+        assert resolve_rc(bare) == (None, None)
+        wrapped, tree2 = resolve_rc(bare, fallback_to_closure=True)
+        assert tree2 is None
+        x = jnp.ones((3, 2))
+        assert np.allclose(np.asarray(wrapped(None, x)),
+                           np.asarray(bare(x)))
+
+    def test_wkde_from_params_matches_fitted(self):
+        """from_params wraps an on-device params pytree without refitting
+        and must behave identically to the fitted object (the fused
+        pipelines rebuild proposals through it)."""
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(128, 2)), jnp.float32)
+        w = jnp.asarray(rng.uniform(0.1, 1.0, 128), jnp.float32)
+        bounds = jnp.asarray([[-3.0, -3.0], [3.0, 3.0]], jnp.float32)
+        kde = WeightedKernelDensityEstimation(x, w, 2, bounds=bounds,
+                                              n_kde=128)
+        clone = WeightedKernelDensityEstimation.from_params(
+            kde._params, kde.n_dims, kde.bounds, kde.n_kde)
+        q = jnp.asarray(rng.normal(size=(16, 2)), jnp.float32)
+        assert np.array_equal(np.asarray(kde.pdf(q)),
+                              np.asarray(clone.pdf(q)))
+        s1 = clone.sample(KEY, 32)
+        s2 = kde.sample(KEY, 32)
+        assert np.array_equal(np.asarray(s1), np.asarray(s2))

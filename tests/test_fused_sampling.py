@@ -268,6 +268,22 @@ class TestFusedIteration:
                                calc_obj=lambda x: jnp.sum(x, axis=-1))
         assert xb2.shape == (4, 10)
 
+    def test_verbose_sampling_candidates_keeps_staged_path(self,
+                                                           monkeypatch):
+        """sampling_candidates itself must honour verbose (not just
+        next_batch): the staged diagnostics — weight-health branch,
+        self.flag, the thresh state machine — are the point of verbose."""
+        state = _gp_binary(seed=4)
+        sober = Sober(BinaryPrior(10), state, seed=5)
+
+        def boom(self, *a, **k):
+            raise AssertionError("fused candidates must not run")
+
+        monkeypatch.setattr(EmpiricalSampler, "_fused_candidates", boom)
+        x_cand, x_nys, weights = sober.sampling_candidates(
+            512, 32, verbose=True)
+        assert x_cand.shape == (512, 10) and x_nys.shape == (32, 10)
+
 
 class TestFusedCalcObj:
     """calc_obj acquisitions with the rc protocol ride the fused program."""

@@ -102,6 +102,42 @@ class TestRecombination:
         assert np.isclose(w.sum(), 1.0, atol=1e-4)
         assert (w >= 0).all()
 
+    def test_sparse_support_returns_distinct_indices(self):
+        """Fewer support points than num_pts: dummy survivors must be
+        backfilled with DISTINCT pool indices (weight 0), never repeats —
+        dataset callers consume the indices for row removal and a repeated
+        index double-processes a row."""
+        n, s = 24, 17
+        x = _pool(n, seed=7)
+        kern = _kernel_fn()
+        mu0 = np.zeros(n, np.float32)
+        mu0[:6] = 1.0 / 6.0  # support on only 6 of 24 points
+        idx, w = recombination(x, x, s, kern, init_weights=jnp.asarray(mu0))
+        idx, w = np.asarray(idx), np.asarray(w)
+        assert (idx >= 0).all() and (idx < n).all()
+        assert len(set(idx.tolist())) == s, idx
+        assert np.isclose(w.sum(), 1.0, atol=1e-4)
+        # the zero-weight backfills must not disturb the quadrature: all
+        # mass sits on the original support
+        assert set(idx[w > 1e-6].tolist()) <= set(range(6))
+
+    def test_pool_smaller_than_batch_stays_in_range(self):
+        """Pool genuinely smaller than num_pts: distinctness is impossible,
+        but indices must stay in range and duplicates carry zero weight."""
+        n, s = 10, 17
+        x = _pool(n, seed=8)
+        x_nys = _pool(32, seed=9)
+        kern = _kernel_fn()
+        idx, w = recombination(x, x_nys, s, kern)
+        idx, w = np.asarray(idx), np.asarray(w)
+        assert (idx >= 0).all() and (idx < n).all()
+        assert np.isclose(w.sum(), 1.0, atol=1e-4)
+        seen = set()
+        for i, wi in zip(idx.tolist(), w.tolist()):
+            if i in seen:
+                assert wi == 0.0, (i, wi)
+            seen.add(i)
+
     def test_with_objective(self):
         """calc_obj biases selection toward high-objective points while
         keeping the quadrature constraints."""
