@@ -151,18 +151,34 @@ def _caratheodory(x: jax.Array, mu: jax.Array, n_elim: int,
     q_full, _ = jnp.linalg.qr(xm, mode="complete")          # (M, M)
     n0 = q_full[:, p:]                                      # (M, M-p)
     inact = 1.0 - active0
-    d_gram = (n0 * inact[:, None]).T @ n0                   # (M-p, M-p)
-    lam, c_vecs = jnp.linalg.eigh(0.5 * (d_gram + d_gram.T))  # ascending
     n_take = min(n_elim, m - p)
-    big_n = n0 @ c_vecs[:, :n_take]                         # (M, n_take)
-    # split threshold: d_gram's eigenvalues are squared inactive-row
-    # amplitudes in [0, 1] (orthonormal columns, 0/1 mask). Genuinely
-    # vanishing directions read ~1e-7 from fp32 QR/eigh noise, so the
-    # cutoff must sit well above that — 1e-6 tolerates inactive amplitudes
-    # up to 1e-3, whose elimination dust the elim/active masks below strip.
-    # (An earlier 1e-8 cutoff sat below the noise floor and silently
-    # discarded valid eliminations, breaking moment matching.)
-    big_n = big_n * (lam[:n_take] <= 1e-6)[None, :].astype(big_n.dtype)
+
+    def split_basis(_):
+        # stage 2 proper: eigh-split the complement's inactive-row Gram.
+        d_gram = (n0 * inact[:, None]).T @ n0               # (M-p, M-p)
+        lam, c_vecs = jnp.linalg.eigh(0.5 * (d_gram + d_gram.T))  # ascending
+        big = n0 @ c_vecs[:, :n_take]                       # (M, n_take)
+        # split threshold: d_gram's eigenvalues are squared inactive-row
+        # amplitudes in [0, 1] (orthonormal columns, 0/1 mask). Genuinely
+        # vanishing directions read ~1e-7 from fp32 QR/eigh noise, so the
+        # cutoff must sit well above that — 1e-6 tolerates inactive
+        # amplitudes up to 1e-3, whose elimination dust the elim/active
+        # masks below strip. (An earlier 1e-8 cutoff sat below the noise
+        # floor and silently discarded valid eliminations, breaking moment
+        # matching.)
+        return big * (lam[:n_take] <= 1e-6)[None, :].astype(big.dtype)
+
+    def all_active_basis(_):
+        # every row is active, so constraint (b) is vacuous and ANY
+        # orthonormal complement columns are valid null directions
+        return n0[:, :n_take]
+
+    # In the halving tree the all-active case is the COMMON one (CAR keeps
+    # exactly n_keep positive barycenters, so the next round's columns are
+    # all positive-mass); the eigh there diagonalizes an exactly-zero Gram.
+    # lax.cond skips that wasted eigh at runtime on every such round.
+    big_n = jax.lax.cond(jnp.any(inact > 0.5), split_basis,
+                         all_active_basis, None)
 
     def body(t, carry):
         mu, nmat, elim = carry
