@@ -239,7 +239,34 @@ def bench_fbgp(n_obs=100, d=3, n_hypers=1000, n_nys=100, n_qd=50):
     _emit("fbgp_hyper_sweep_1000", value)
 
 
+def _probe_backend(timeout_s=240):
+    """Fail fast if the device backend is unreachable.
+
+    The axon TPU tunnel occasionally drops; a dead tunnel makes the first
+    dispatch hang forever (not error), which would stall the whole bench
+    run. Probe with a tiny computation in a subprocess so a hang converts
+    into a clean timeout + nonzero exit.
+    """
+    import subprocess
+    import sys
+    try:
+        subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "print(float(jnp.ones(()) + 1.0), jax.devices())"],
+            timeout=timeout_s, check=True, capture_output=True)
+    except subprocess.TimeoutExpired:
+        print(f"bench: device backend unreachable (no response in "
+              f"{timeout_s}s) — is the TPU tunnel up?", file=sys.stderr)
+        sys.exit(1)
+    except subprocess.CalledProcessError as e:
+        print(f"bench: device probe failed:\n{e.stderr.decode()[-2000:]}",
+              file=sys.stderr)
+        sys.exit(1)
+
+
 def main():
+    _probe_backend()
     bench_fused(65536, 512, 200, 10, "full_bo_iteration_65k_batch200")
     bench_fused(200000, 500, 100, 4, "full_bo_iteration_200k_batch100")
     bench_ising()
