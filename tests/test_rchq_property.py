@@ -115,6 +115,40 @@ def test_rank_deficient_kernel():
     assert abs(w.sum() - 1.0) < 2e-3
 
 
+@pytest.mark.parametrize("n_masked", [0, 3])
+def test_caratheodory_branch_invariants(n_masked):
+    """Direct check of _caratheodory's two null-basis branches.
+
+    n_masked=0 exercises the all-active fast path (complement columns used
+    directly, eigh split skipped via lax.cond); n_masked>0 exercises the
+    eigh-split path. Both must eliminate down to <= p support points while
+    preserving x.T @ mu exactly (mass row included) and leaving masked rows
+    at zero.
+    """
+    from sober_tpu.core.rchq import _caratheodory
+
+    rng = np.random.default_rng(21 + n_masked)
+    m, n_feat = 16, 7
+    feats = rng.uniform(-1, 1, (n_feat, m))
+    mask = np.ones(m)
+    mu = rng.uniform(0.1, 1.0, m)
+    if n_masked:
+        mask[-n_masked:] = 0.0
+        mu[-n_masked:] = 0.0
+    mu /= mu.sum()
+    x = jnp.asarray(np.concatenate([feats, mask[None, :]]).T, jnp.float32)
+    p = n_feat + 1
+    mu_out = np.asarray(_caratheodory(
+        x, jnp.asarray(mu, jnp.float32), m - p, jnp.asarray(mask, jnp.float32)))
+
+    assert (mu_out >= 0).all()
+    assert (mu_out[mask == 0] == 0).all()
+    assert (mu_out > 0).sum() <= p
+    want = np.asarray(x).T @ mu
+    got = np.asarray(x).T @ mu_out
+    assert np.abs(got - want).max() < 5e-6, (got, want)
+
+
 def test_linear_kernel_exact_mean_matching():
     """With a linear kernel the test functions are linear, so the selected
     quadrature must preserve the weighted MEAN of the candidates almost
