@@ -375,6 +375,31 @@ def rc_kernel_svd(samp, pt, s, kernel, mu=None, calc_obj=None):
                          calc_obj=calc_obj)
 
 
+def Mod_Tchernychova_Lyons(samp, U_svd, pt_nys, kernel, tm=None, mu=None,
+                           calc_obj=None, DEBUG=False):
+    """SOBER/_rchq.py:51-221 — the recombination halving tree on a
+    PRECOMPUTED spectral basis: reduce the weighted pool `samp` to at most
+    n+1 support points matching the n test functions U_svd @ k(pt_nys, .).
+    Returns (w_star, idx_star) — positive weights only, reference order.
+
+    `tm` (the reference's TensorManager) and DEBUG are accepted and ignored;
+    JAX arrays carry their own device/dtype.
+    """
+    samp = jnp.asarray(samp, jnp.float32)
+    u = jnp.asarray(U_svd, jnp.float32)
+    n_pool = samp.shape[0]
+    w0 = (jnp.ones((n_pool,), jnp.float32) / n_pool if mu is None
+          else jnp.asarray(mu, jnp.float32))
+    phi = u @ kernel(jnp.asarray(pt_nys, jnp.float32), samp)
+    obj = None if calc_obj is None else -jnp.asarray(calc_obj(samp),
+                                                     jnp.float32)
+    res = local_reduce(phi, w0, u.shape[0] + 1, obj=obj)
+    w = np.asarray(res.w)
+    idx = np.asarray(res.idx)
+    keep = w > 0
+    return jnp.asarray(w[keep]), jnp.asarray(idx[keep])
+
+
 def Tchernychova_Lyons_CAR(x, mu):
     """SOBER/_rchq.py:224-270 — one Caratheodory elimination pass: reduce
     the weighted configuration (x (N, n), mu (N,)) to <= n+1 support points
@@ -420,7 +445,7 @@ __all__ = [
     "BasePrior", "mvn_box_prob", "Phi", "hyperrectangle_integration",
     "LogMarginalLikelihood", "lnPhi", "lnNormalProb", "device_manager",
     "dtype_manager", "default_postprocess_script", "BOLFIKernel",
-    "rc_kernel_svd", "Tchernychova_Lyons_CAR",
+    "rc_kernel_svd", "Tchernychova_Lyons_CAR", "Mod_Tchernychova_Lyons",
 ]
 
 

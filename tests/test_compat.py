@@ -115,7 +115,7 @@ SECOND_TIER = [
     "BasePrior", "mvn_box_prob", "Phi", "hyperrectangle_integration",
     "LogMarginalLikelihood", "lnPhi", "lnNormalProb", "device_manager",
     "dtype_manager", "default_postprocess_script", "BOLFIKernel",
-    "rc_kernel_svd", "Tchernychova_Lyons_CAR",
+    "rc_kernel_svd", "Tchernychova_Lyons_CAR", "Mod_Tchernychova_Lyons",
 ]
 
 
@@ -153,6 +153,33 @@ def test_tchernychova_lyons_car():
     want = mu @ x
     got = mu_new @ x
     assert np.abs(got - want).max() < 1e-3, (got, want)
+
+
+def test_mod_tchernychova_lyons_precomputed_basis():
+    """The tree on a PRECOMPUTED spectral basis (reference signature:
+    SOBER/_rchq.py:51): returns positive weights + their pool indices in
+    the reference's (w_star, idx_star) order, matching the test-function
+    moments of the input measure."""
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.uniform(-1, 1, (400, 2)), jnp.float32)
+    pt = x[:32]
+    mu = jnp.asarray(rng.uniform(0.1, 1, 400), jnp.float32)
+    mu = mu / mu.sum()
+
+    def kern(a, b):
+        d2 = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+        return jnp.exp(-0.5 * d2)
+
+    _, u = compat.ker_svd_sparsify(pt, 7, kern)
+    w, idx = compat.Mod_Tchernychova_Lyons(x, u, pt, kern, mu=mu)
+    w = np.asarray(w, np.float64)
+    idx = np.asarray(idx)
+    assert len(w) <= 8 and (w > 0).all()
+    assert abs(w.sum() - 1.0) < 1e-3
+    phi = np.asarray(u @ kern(pt, x), np.float64)
+    want = phi @ np.asarray(mu, np.float64)
+    got = phi[:, idx] @ w
+    assert np.abs(got - want).max() < 5e-3, (got, want)
 
 
 def test_rc_kernel_svd_alias():
