@@ -17,10 +17,15 @@ from scipy.stats import chi2
 
 from ..core.sober import Sober
 from ..gp.multitask import (
+    ICMState,
     MultiTaskGPState,
+    fit_icm_gp,
     fit_multitask_gp,
+    predict_icm,
     predict_multitask,
+    sample_icm,
     sample_multitask,
+    task_posterior_cov_icm,
 )
 from .wrapper import SoberWrapper
 
@@ -31,8 +36,19 @@ class InverseModel(SoberWrapper):
                  transforms=None, seed: Optional[int] = None,
                  disable_numpy_mode: bool = False,
                  parallelization: bool = True,
-                 visualizations: bool = False, **kwargs):
-        """(SOBER/_inverse_modelling.py:16-118)"""
+                 visualizations: bool = False,
+                 task_covariance: str = "icm", **kwargs):
+        """(SOBER/_inverse_modelling.py:16-118)
+
+        task_covariance: "icm" (default) fits the full intrinsic-
+        coregionalization surrogate with a LEARNED T x T task covariance —
+        the reference's KroneckerMultiTaskGP
+        (SOBER/_inverse_modelling.py:159-186); "independent" falls back to
+        the vmapped per-task GPs (no cross-output coupling)."""
+        if task_covariance not in ("icm", "independent"):
+            raise ValueError(
+                'task_covariance must be "icm" or "independent"')
+        self.task_covariance = task_covariance
         super().__init__(
             model=model, data=None,
             model_initial_samples=model_initial_samples,
@@ -48,7 +64,7 @@ class InverseModel(SoberWrapper):
         self.observations_all = None
         self.observations_all_mean = None
         self.observations_all_std = None
-        self.inverse_model: Optional[MultiTaskGPState] = None
+        self.inverse_model: Optional[MultiTaskGPState | ICMState] = None
         self.update_training_data(initialization=True)
         self.results = []
         self.total_sober_iterations = 0
@@ -77,9 +93,15 @@ class InverseModel(SoberWrapper):
         self.optimize_inverse_model()
 
     def optimize_inverse_model(self):
-        """Refit obs -> params (SOBER/_inverse_modelling.py:159-186)."""
-        self.inverse_model = fit_multitask_gp(self.observations_all,
-                                              self.X_all)
+        """Refit obs -> params (SOBER/_inverse_modelling.py:159-186): the
+        ICM surrogate with learned task covariance by default (the
+        reference's KroneckerMultiTaskGP), or independent per-task GPs."""
+        if self.task_covariance == "icm":
+            self.inverse_model = fit_icm_gp(self.observations_all,
+                                            self.X_all)
+        else:
+            self.inverse_model = fit_multitask_gp(self.observations_all,
+                                                  self.X_all)
 
     def default_objective_function(self, observations):
         """Active-learning objective: -sum log inverse-model variance
@@ -125,7 +147,10 @@ class InverseModel(SoberWrapper):
         (SOBER/_inverse_modelling.py:339-356)."""
         obs = (jnp.asarray(observations) - self.observations_all_mean
                ) / self.observations_all_std
-        return predict_multitask(self.inverse_model, jnp.atleast_2d(obs))
+        obs = jnp.atleast_2d(obs)
+        if isinstance(self.inverse_model, ICMState):
+            return predict_icm(self.inverse_model, obs)
+        return predict_multitask(self.inverse_model, obs)
 
     def evaluate(self, observations, confidence: float = 0.95,
                  one_dimensional_confidence: bool = False,
@@ -139,7 +164,14 @@ class InverseModel(SoberWrapper):
         sd = jnp.sqrt(jnp.maximum(var, 0.0))
         lower = mean - deviations * sd
         upper = mean + deviations * sd
-        covariance = jax.vmap(jnp.diag)(var)
+        if isinstance(self.inverse_model, ICMState):
+            # the full learned cross-parameter covariance (the quantity the
+            # independent surrogate cannot produce)
+            obs_n = (obs - self.observations_all_mean
+                     ) / self.observations_all_std
+            covariance = task_posterior_cov_icm(self.inverse_model, obs_n)
+        else:
+            covariance = jax.vmap(jnp.diag)(var)
         if not normalized_space:
             mean = self.reverse_transform(self.denormalize_input(mean))
             lower = self.reverse_transform(self.denormalize_input(lower))
@@ -153,8 +185,12 @@ class InverseModel(SoberWrapper):
         obs = jnp.atleast_2d(jnp.asarray(observations))
         obs_norm = (obs - self.observations_all_mean
                     ) / self.observations_all_std
-        samples = sample_multitask(self.inverse_model, self.keys.next(),
-                                   obs_norm, sample_size)
+        if isinstance(self.inverse_model, ICMState):
+            samples = sample_icm(self.inverse_model, self.keys.next(),
+                                 obs_norm, sample_size)
+        else:
+            samples = sample_multitask(self.inverse_model, self.keys.next(),
+                                       obs_norm, sample_size)
         if not normalized_space:
             s, m, d = samples.shape
             flat = self.reverse_transform(self.denormalize_input(
