@@ -97,8 +97,16 @@ def nystrom_basis(k_nys: jax.Array, n_test: int) -> jax.Array:
         _, eigvecs = jnp.linalg.eigh(k_nys)                # ascending
         return eigvecs[:, -n_test:].T
     n_sub = min(n_test + 32, n_nys)
-    omega = jax.random.normal(jax.random.key(17), (n_nys, n_sub),
-                              k_nys.dtype)
+    # Probe key derived from the Gram content (bitcast-hashed sum folded into
+    # a fixed base key): deterministic given the Gram, so jit caching and
+    # reproducibility are unchanged, but no single fixed probe exists for an
+    # adversarial Gram to be orthogonal to (a rank-k Gram whose column space
+    # is exactly orthogonal to a FIXED probe makes k_nys @ omega vanish and
+    # the subspace iteration unrecoverable).
+    probe_seed = jax.lax.bitcast_convert_type(
+        jnp.nan_to_num(jnp.sum(k_nys)).astype(jnp.float32), jnp.int32)
+    probe_key = jax.random.fold_in(jax.random.key(17), probe_seed)
+    omega = jax.random.normal(probe_key, (n_nys, n_sub), k_nys.dtype)
     q, _ = jnp.linalg.qr(k_nys @ omega)
     for _ in range(3):
         q, _ = jnp.linalg.qr(k_nys @ q)

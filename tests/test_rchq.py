@@ -199,6 +199,31 @@ class TestNystromBasis:
         want_energy = float(eigs[-n_test:].sum())
         assert got_energy > 0.98 * want_energy
 
+    def test_adversarial_rank_deficient_gram(self):
+        """A rank-k Gram whose column space is exactly orthogonal to the OLD
+        fixed probe (normal(key(17))) must still capture >= 99% of the top-k
+        Rayleigh energy: the probe key is now derived from the Gram content,
+        so no single fixed probe can be adversarially avoided. With the old
+        fixed probe, k @ omega == 0 here and the basis is unrecoverable."""
+        from sober_tpu.core.rchq import nystrom_basis
+
+        n_nys, n_test = 512, 100
+        n_sub = n_test + 32
+        omega_old = np.asarray(jax.random.normal(
+            jax.random.key(17), (n_nys, n_sub), jnp.float32))
+        # orthonormal basis of the complement of span(omega_old)
+        q_probe, _ = np.linalg.qr(omega_old)               # (n_nys, n_sub)
+        proj = np.eye(n_nys) - q_probe @ q_probe.T
+        rng = np.random.default_rng(3)
+        v_raw = proj @ rng.standard_normal((n_nys, n_test))
+        v, _ = np.linalg.qr(v_raw)                         # (n_nys, n_test)
+        lam = np.linspace(1.0, 2.0, n_test)
+        k = jnp.asarray((v * lam) @ v.T, jnp.float32)      # rank n_test, ⟂ old probe
+        u = nystrom_basis(k, n_test)
+        got_energy = float(np.trace(np.asarray(u @ k @ u.T)))
+        want_energy = float(lam.sum())
+        assert got_energy > 0.99 * want_energy
+
     def test_recombination_moment_matching_on_randomized_basis(self):
         """End to end through the randomized path (n_nys >= 384): moment
         matching on the span actually used stays machine-exact."""
