@@ -32,13 +32,36 @@ class RFFBasis(NamedTuple):
         return self.scale * jnp.cos(proj)
 
 
+# Matern smoothness nu per kernel name; the spectral measure of Matern-nu
+# (unit lengthscale) is the multivariate Student-t with 2*nu degrees of
+# freedom — its characteristic function E[cos(omega . r)] is exactly the
+# Matern correlation (nu=1/2: Cauchy frequencies -> exp(-r); nu=3/2:
+# (1+sqrt(3)r)exp(-sqrt(3)r); nu=5/2: (1+sqrt(5)r+5r^2/3)exp(-sqrt(5)r)).
+_MATERN_DF = {"matern12": 1.0, "matern32": 3.0, "matern52": 5.0}
+
+
 def make_rff_basis(key: jax.Array, state: GPState,
                    num_basis: int = 1024) -> RFFBasis:
-    """Random Fourier features for the fitted RBF kernel
-    (benchmarks/gp_sampling/basis_functions.py:48)."""
+    """Random Fourier features for the fitted stationary kernel.
+
+    RBF draws Gaussian frequencies; Matern-nu draws multivariate-t
+    frequencies with df=2*nu via omega = z * sqrt(df/u), u ~ chi2_df
+    (reference: benchmarks/gp_sampling/basis_functions.py:48, whose
+    gpytorch-backed basis covers the same kernel families)."""
+    name = state.kernel.name
     d = state.x.shape[1]
-    k1, k2 = jax.random.split(key)
-    omega = jax.random.normal(k1, (num_basis, d))
+    k1, k2, k3 = jax.random.split(key, 3)
+    z = jax.random.normal(k1, (num_basis, d))
+    if name == "rbf":
+        omega = z
+    elif name in _MATERN_DF:
+        df = _MATERN_DF[name]
+        u = jax.random.chisquare(k3, df, shape=(num_basis,))
+        omega = z * jnp.sqrt(df / jnp.maximum(u, 1e-12))[:, None]
+    else:
+        raise ValueError(
+            f"no spectral density registered for kernel {name!r}; "
+            f"pathwise sampling supports rbf and {sorted(_MATERN_DF)}")
     phase = jax.random.uniform(k2, (num_basis,), maxval=2 * jnp.pi)
     os_ = state.kernel.params["outputscale"]
     ls = state.kernel.params["lengthscale"]

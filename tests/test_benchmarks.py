@@ -29,34 +29,53 @@ from sober_tpu.benchmarks import (
 KEY = jax.random.key(0)
 
 
-def _fitted(n=40, seed=0):
+def _fitted(n=40, seed=0, kernel="rbf"):
     rng = np.random.default_rng(seed)
     x = jnp.asarray(rng.uniform(-2, 2, (n, 2)), jnp.float32)
     y = -jnp.sum(x**2, axis=1) + 0.01 * jnp.asarray(
         rng.normal(size=n), jnp.float32)
-    return fit_gp(x, y), Uniform(jnp.array([[-2.0, -2.0], [2.0, 2.0]]))
+    return (fit_gp(x, y, kernel_name=kernel),
+            Uniform(jnp.array([[-2.0, -2.0], [2.0, 2.0]])))
+
+
+ALL_SPECTRAL = ["rbf", "matern12", "matern32", "matern52"]
 
 
 class TestSampling:
-    def test_rff_approximates_kernel(self):
-        model, _ = _fitted()
-        basis = make_rff_basis(KEY, model, num_basis=4096)
+    @pytest.mark.parametrize("kernel", ALL_SPECTRAL)
+    def test_rff_approximates_kernel(self, kernel):
+        """E[phi(x) phi(y)^T] -> k(x, y) for every kernel with a registered
+        spectral density (reference basis_functions.py:48). Matern tails are
+        heavier (t-distributed frequencies), so the MC error bar is wider
+        than RBF's at the same basis count."""
+        model, _ = _fitted(kernel=kernel)
+        n_basis = 4096 if kernel == "rbf" else 32768
+        basis = make_rff_basis(KEY, model, num_basis=n_basis)
         x = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (30, 2)),
                         jnp.float32)
         phi = basis(x)
         k_approx = np.asarray(phi @ phi.T)
         k_true = np.asarray(model.kernel.gram(x, x))
         rel = np.abs(k_approx - k_true).max() / k_true.max()
-        assert rel < 0.05
+        assert rel < (0.05 if kernel == "rbf" else 0.10), (kernel, rel)
 
-    def test_pathwise_matches_posterior(self):
-        model, _ = _fitted()
+    @pytest.mark.parametrize("kernel", ALL_SPECTRAL)
+    def test_pathwise_matches_posterior(self, kernel):
+        model, _ = _fitted(kernel=kernel)
         paths = decoupled_sampler(KEY, model, 512, num_basis=2048)
         xq = jnp.array([[0.5, 0.5], [1.5, -1.0]])
         y = np.asarray(paths(xq))
         mu, var = predict(model, xq, include_noise=False)
-        assert np.allclose(y.mean(0), np.asarray(mu), atol=0.15)
-        assert np.allclose(y.std(0), np.sqrt(np.asarray(var)), atol=0.15)
+        sd = np.sqrt(np.asarray(var))
+        assert np.allclose(y.mean(0), np.asarray(mu), atol=0.15), kernel
+        assert np.allclose(y.std(0), sd, atol=0.15), kernel
+
+    def test_unknown_kernel_raises(self):
+        model, _ = _fitted()
+        bad = model._replace(kernel=model.kernel.__class__(
+            "tanimoto", {"outputscale": jnp.float32(1.0)}))
+        with pytest.raises(ValueError, match="spectral density"):
+            make_rff_basis(KEY, bad, num_basis=64)
 
     def test_joint_samples_stats(self):
         model, _ = _fitted()
