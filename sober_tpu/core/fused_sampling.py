@@ -83,6 +83,35 @@ def _pi_weights(pi, x, pdf):
     return cleansing_weights(w)
 
 
+def _shard_cand(a, mesh):
+    """GSPMD sharding constraint on a candidate-axis array: row-shard over
+    the mesh's "cand" axis (Sober(mesh=..., schedule="gspmd")). A no-op
+    without a mesh; with one, the constraint anchors XLA's sharding
+    propagation so the pi sweep, the (n_test, n_rec) feature strip and the
+    reduction tree's bulk stages partition over devices inside the SAME
+    one-dispatch program the single-device path uses (SURVEY §5.7-5.8;
+    explicit shard_map alternatives live in parallel/sharded.py)."""
+    if mesh is None:
+        return a
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = PartitionSpec("cand", *([None] * (a.ndim - 1)))
+    return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+
+def _shard_draw(draw, mesh):
+    """Wrap a draw closure (k -> (x, w)) so its pool and weights carry the
+    candidate-axis sharding constraint."""
+    if mesh is None:
+        return draw
+
+    def wrapped(k, *args, **kwargs):
+        x, w = draw(k, *args, **kwargs)
+        return _shard_cand(x, mesh), _shard_cand(w, mesh)
+
+    return wrapped
+
+
 def _refill(key, draw_w, x0, w0, need, bound):
     """Accumulate-until-enough refill (recursive_sampling,
     core/sampler.py:208-234): rounds 1..bound-1 draw fresh pools and fill
@@ -110,7 +139,8 @@ def _refill(key, draw_w, x0, w0, need, bound):
 
 
 def _binary_pipeline(pi, probs, k_draw, k_update,
-                     k_refill, k_nys, n_rec: int, n_nys: int, thresh: int):
+                     k_refill, k_nys, n_rec: int, n_nys: int, thresh: int,
+                     mesh=None):
     """Binary domain: Bernoulli proposal with closed-form MLE update.
 
     Returns (x_cand, x_nys, weights, probs_out); probs_out equals the old
@@ -127,7 +157,7 @@ def _binary_pipeline(pi, probs, k_draw, k_update,
             lp = (x * jnp.log(pc)[None, :]
                   + (1 - x) * jnp.log1p(-pc)[None, :])
             return x, _pi_weights(pi, x, jnp.exp(jnp.sum(lp, axis=1)))
-        return draw
+        return _shard_draw(draw, mesh)
 
     x1, w1 = draw_with(probs)(k_draw)
 
@@ -176,13 +206,14 @@ def _binary_pipeline(pi, probs, k_draw, k_update,
     return x, x[idx], w, p_out
 
 
-@partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "pi_apply"))
+@partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "pi_apply",
+                                   "mesh"))
 def fused_candidates_binary(pi_tree, probs, k_draw, k_update,
                             k_refill, k_nys, *, n_rec: int, n_nys: int,
-                            thresh: int, pi_apply=lfi_apply):
+                            thresh: int, pi_apply=lfi_apply, mesh=None):
     """Jitted wrapper of _binary_pipeline (see its docstring)."""
     return _binary_pipeline((pi_apply, pi_tree), probs, k_draw, k_update,
-                            k_refill, k_nys, n_rec, n_nys, thresh)
+                            k_refill, k_nys, n_rec, n_nys, thresh, mesh)
 
 
 def _cont_select_nys(k_nys, x, w, take_head, n_nys: int):
@@ -195,12 +226,13 @@ def _cont_select_nys(k_nys, x, w, take_head, n_nys: int):
     return jnp.where(take_head, x[:n_nys], cents)
 
 
-def _wkde_machinery(pi, bounds, n_rec: int, n_kde: int, n_dims: int):
+def _wkde_machinery(pi, bounds, n_rec: int, n_kde: int, n_dims: int,
+                    mesh=None):
     def draw_with(params):
         def draw(k):
             x = _wkde_sample(k, params, bounds, n_rec, 10)
             return x, _pi_weights(pi, x, _wkde_pdf(params, bounds, x))
-        return draw
+        return _shard_draw(draw, mesh)
 
     def update_on(x, w):
         return lambda k: _wkde_fit(k, x, w, n_kde, "scott", n_dims)
@@ -247,7 +279,7 @@ def _cont_branches(probe, draw_old, update_on, draw_with, k_update, k_refill,
 def _uniform_pipeline(pi, bounds, sobol_state,
                       sobol_offset, k_draw, k_update, k_refill,
                       k_nys, n_rec: int, n_nys: int,
-                      thresh: int, n_kde: int, qmc: bool):
+                      thresh: int, n_kde: int, qmc: bool, mesh=None):
     """Continuous domain, Uniform (box) proposal -> WKDE update.
 
     Returns (x_cand, x_nys, weights, wkde_params, did_update). The host
@@ -274,6 +306,7 @@ def _uniform_pipeline(pi, bounds, sobol_state,
         pdf = jnp.where(inside, dens, 0.0)
         return x, _pi_weights(pi, x, pdf)
 
+    draw_uniform = _shard_draw(draw_uniform, mesh)
     draw_old = draw_uniform
     if qmc:
         u0 = sobol_sample(sobol_state,
@@ -281,7 +314,8 @@ def _uniform_pipeline(pi, bounds, sobol_state,
         x1, w1 = draw_uniform(k_draw, u=u0)
     else:
         x1, w1 = draw_uniform(k_draw)
-    draw_with, update_on = _wkde_machinery(pi, bounds, n_rec, n_kde, d)
+    draw_with, update_on = _wkde_machinery(pi, bounds, n_rec, n_kde, d,
+                                           mesh)
     x, w, params, did, take_head = _cont_branches(
         (x1, w1), draw_old, update_on, draw_with, k_update, k_refill,
         n_nys, thresh)
@@ -290,27 +324,29 @@ def _uniform_pipeline(pi, bounds, sobol_state,
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde",
-                                   "qmc", "pi_apply"))
+                                   "qmc", "pi_apply", "mesh"))
 def fused_candidates_cont_uniform(pi_tree, bounds, sobol_state,
                                   sobol_offset, k_draw, k_update, k_refill,
                                   k_nys, *, n_rec: int, n_nys: int,
                                   thresh: int, n_kde: int, qmc: bool,
-                                  pi_apply=lfi_apply):
+                                  pi_apply=lfi_apply, mesh=None):
     """Jitted wrapper of _uniform_pipeline (see its docstring)."""
     return _uniform_pipeline((pi_apply, pi_tree), bounds, sobol_state,
                              sobol_offset, k_draw, k_update, k_refill,
-                             k_nys, n_rec, n_nys, thresh, n_kde, qmc)
+                             k_nys, n_rec, n_nys, thresh, n_kde, qmc, mesh)
 
 
 def _wkde_pipeline(pi, params_old, bounds,
                    k_draw, k_update, k_refill, k_nys,
-                   n_rec: int, n_nys: int, thresh: int, n_kde: int):
+                   n_rec: int, n_nys: int, thresh: int, n_kde: int,
+                   mesh=None):
     """Continuous domain, WKDE proposal -> WKDE refit.
 
     Returns (x_cand, x_nys, weights, params_out) with params_out already
     selected between refit and old on device (zero host fetches)."""
     d = params_old["x_obs"].shape[1]
-    draw_with, update_on = _wkde_machinery(pi, bounds, n_rec, n_kde, d)
+    draw_with, update_on = _wkde_machinery(pi, bounds, n_rec, n_kde, d,
+                                           mesh)
     draw_old = draw_with(params_old)
     x1, w1 = draw_old(k_draw)
     x, w, params, did, take_head = _cont_branches(
@@ -323,19 +359,20 @@ def _wkde_pipeline(pi, params_old, bounds,
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde",
-                                   "pi_apply"))
+                                   "pi_apply", "mesh"))
 def fused_candidates_cont_wkde(pi_tree, params_old, bounds,
                                k_draw, k_update, k_refill, k_nys, *,
                                n_rec: int, n_nys: int, thresh: int,
-                               n_kde: int, pi_apply=lfi_apply):
+                               n_kde: int, pi_apply=lfi_apply, mesh=None):
     """Jitted wrapper of _wkde_pipeline (see its docstring)."""
     return _wkde_pipeline((pi_apply, pi_tree), params_old, bounds, k_draw,
                           k_update, k_refill, k_nys, n_rec, n_nys, thresh,
-                          n_kde)
+                          n_kde, mesh)
 
 
 def _gauss_pipeline(pi, mu, chol, k_draw, k_update, k_refill, k_nys,
-                    n_rec: int, n_nys: int, thresh: int, n_kde: int):
+                    n_rec: int, n_nys: int, thresh: int, n_kde: int,
+                    mesh=None):
     """Continuous domain, Gaussian proposal -> WKDE update (the SBI /
     wrapper entry: run_BASQ starts from a Gaussian prior,
     apps/wrapper.py). The learned WKDE is bounds-free, mirroring the
@@ -350,8 +387,9 @@ def _gauss_pipeline(pi, mu, chol, k_draw, k_update, k_refill, k_nys,
         pdf = jnp.exp(mvn_logpdf(x, mu, chol))
         return x, _pi_weights(pi, x, pdf)
 
+    draw_gauss = _shard_draw(draw_gauss, mesh)
     x1, w1 = draw_gauss(k_draw)
-    draw_with, update_on = _wkde_machinery(pi, None, n_rec, n_kde, d)
+    draw_with, update_on = _wkde_machinery(pi, None, n_rec, n_kde, d, mesh)
     x, w, params, did, take_head = _cont_branches(
         (x1, w1), draw_gauss, update_on, draw_with, k_update, k_refill,
         n_nys, thresh)
@@ -360,20 +398,21 @@ def _gauss_pipeline(pi, mu, chol, k_draw, k_update, k_refill, k_nys,
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde",
-                                   "pi_apply"))
+                                   "pi_apply", "mesh"))
 def fused_candidates_cont_gauss(pi_tree, mu, chol, k_draw, k_update,
                                 k_refill, k_nys, *, n_rec: int, n_nys: int,
                                 thresh: int, n_kde: int,
-                                pi_apply=lfi_apply):
+                                pi_apply=lfi_apply, mesh=None):
     """Jitted wrapper of _gauss_pipeline (see its docstring)."""
     return _gauss_pipeline((pi_apply, pi_tree), mu, chol, k_draw, k_update,
-                           k_refill, k_nys, n_rec, n_nys, thresh, n_kde)
+                           k_refill, k_nys, n_rec, n_nys, thresh, n_kde,
+                           mesh)
 
 
 def _tgauss_pipeline(pi, mu, chol, lb, ub, constant, prec, cond_sd,
                      k_draw, k_update, k_refill, k_nys, n_rec: int,
                      n_nys: int, thresh: int, n_kde: int, gibbs: bool,
-                     n_rounds: int, n_sweeps: int):
+                     n_rounds: int, n_sweeps: int, mesh=None):
     """Continuous domain, box-truncated Gaussian proposal -> WKDE update
     (the wrapper's default SBI entry: TruncatedGaussian on the unit box,
     apps/wrapper.py). Draws mirror TruncatedGaussian.sample exactly —
@@ -402,8 +441,10 @@ def _tgauss_pipeline(pi, mu, chol, lb, ub, constant, prec, cond_sd,
         pdf = jnp.where(inside(x), base, 0.0)
         return x, _pi_weights(pi, x, pdf)
 
+    draw_tg = _shard_draw(draw_tg, mesh)
     x1, w1 = draw_tg(k_draw)
-    draw_with, update_on = _wkde_machinery(pi, bounds, n_rec, n_kde, d)
+    draw_with, update_on = _wkde_machinery(pi, bounds, n_rec, n_kde, d,
+                                           mesh)
     x, w, params, did, take_head = _cont_branches(
         (x1, w1), draw_tg, update_on, draw_with, k_update, k_refill,
         n_nys, thresh)
@@ -412,7 +453,7 @@ def _tgauss_pipeline(pi, mu, chol, lb, ub, constant, prec, cond_sd,
 
 
 _TG_STATICS = ("n_rec", "n_nys", "thresh", "n_kde", "gibbs", "n_rounds",
-               "n_sweeps", "pi_apply")
+               "n_sweeps", "mesh", "pi_apply")
 
 
 @partial(jax.jit, static_argnames=_TG_STATICS)
@@ -421,12 +462,12 @@ def fused_candidates_cont_tgauss(pi_tree, mu, chol, lb, ub, constant, prec,
                                  k_nys, *, n_rec: int, n_nys: int,
                                  thresh: int, n_kde: int, gibbs: bool,
                                  n_rounds: int, n_sweeps: int,
-                                 pi_apply=lfi_apply):
+                                 pi_apply=lfi_apply, mesh=None):
     """Jitted wrapper of _tgauss_pipeline (see its docstring)."""
     return _tgauss_pipeline((pi_apply, pi_tree), mu, chol, lb, ub,
                             constant, prec, cond_sd, k_draw, k_update,
                             k_refill, k_nys, n_rec, n_nys, thresh, n_kde,
-                            gibbs, n_rounds, n_sweeps)
+                            gibbs, n_rounds, n_sweeps, mesh)
 
 
 @partial(jax.jit, static_argnames=_TG_STATICS + ("batch", "kernel_apply",
@@ -437,16 +478,16 @@ def fused_iteration_cont_tgauss(pi_tree, mu, chol, lb, ub, constant, prec,
                                 thresh: int, n_kde: int, gibbs: bool,
                                 n_rounds: int, n_sweeps: int, batch: int,
                                 kernel_apply, obj_apply=None, obj_tree=None,
-                                pi_apply=lfi_apply):
+                                pi_apply=lfi_apply, mesh=None):
     """_tgauss_pipeline + kernel recombination, one program.
 
     Returns (x_batch, w_rchq, wkde_params, did_update)."""
     x, x_nys, w, params, did = _tgauss_pipeline(
         (pi_apply, pi_tree), mu, chol, lb, ub, constant, prec, cond_sd,
         k_draw, k_update, k_refill, k_nys, n_rec, n_nys, thresh, n_kde,
-        gibbs, n_rounds, n_sweeps)
+        gibbs, n_rounds, n_sweeps, mesh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
-                                    batch, obj_apply, obj_tree)
+                                    batch, obj_apply, obj_tree, mesh)
     return x_batch, w_rchq, params, did
 
 
@@ -458,7 +499,7 @@ def fused_bo_step_cont_tgauss(x_pad, y_pad, mask, mu, chol, lb, ub,
                               n_rec: int, n_nys: int, thresh: int,
                               n_kde: int, gibbs: bool, n_rounds: int,
                               n_sweeps: int, batch: int, kernel_apply,
-                              params0=None):
+                              params0=None, mesh=None):
     """Refit + _tgauss_pipeline + recombination, one program.
 
     Returns (state, x_batch, w_rchq, wkde_params, did_update)."""
@@ -466,8 +507,9 @@ def fused_bo_step_cont_tgauss(x_pad, y_pad, mask, mu, chol, lb, ub,
     x, x_nys, w, params, did = _tgauss_pipeline(
         (lfi_apply, (state, eta)), mu, chol, lb, ub, constant, prec,
         cond_sd, k_draw, k_update, k_refill, k_nys, n_rec, n_nys, thresh,
-        n_kde, gibbs, n_rounds, n_sweeps)
-    x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch)
+        n_kde, gibbs, n_rounds, n_sweeps, mesh)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch,
+                                    mesh=mesh)
     return state, x_batch, w_rchq, params, did
 
 
@@ -476,7 +518,7 @@ def fused_bo_step_cont_tgauss(x_pad, y_pad, mask, mu, chol, lb, ub,
 # ----------------------------------------------------------------------------
 
 def _recombine(x, x_nys, w, kernel_tree, kernel_apply, batch: int,
-               obj_apply=None, obj_tree=None):
+               obj_apply=None, obj_tree=None, mesh=None):
     from .rchq import _recombination_impl
 
     # obj_apply/obj_tree: the calc_obj stable-callable pair (same protocol
@@ -485,6 +527,10 @@ def _recombine(x, x_nys, w, kernel_tree, kernel_apply, batch: int,
     # (rchq.recombination with calc_obj)
     calc_obj = (None if obj_apply is None
                 else (lambda q: obj_apply(obj_tree, q)))
+    # under mesh mode, anchor the pool/weights sharding so the (n_test, N)
+    # feature strip partitions on its candidate axis
+    x = _shard_cand(x, mesh)
+    w = _shard_cand(w, mesh)
     idx, w_rchq = _recombination_impl(
         x, x_nys, batch, lambda a, b: kernel_apply(kernel_tree, a, b),
         init_weights=w, calc_obj=calc_obj)
@@ -492,91 +538,93 @@ def _recombine(x, x_nys, w, kernel_tree, kernel_apply, batch: int,
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "batch",
-                                   "kernel_apply", "obj_apply", "pi_apply"))
+                                   "kernel_apply", "obj_apply", "pi_apply",
+                                   "mesh"))
 def fused_iteration_binary(pi_tree, probs, k_draw, k_update,
                            k_refill, k_nys, kernel_tree, *, n_rec: int,
                            n_nys: int, thresh: int, batch: int,
                            kernel_apply, obj_apply=None, obj_tree=None,
-                           pi_apply=lfi_apply):
+                           pi_apply=lfi_apply, mesh=None):
     """_binary_pipeline + kernel recombination, one program.
 
     Returns (x_batch, w_rchq, probs_out)."""
     x, x_nys, w, probs_out = _binary_pipeline(
         (pi_apply, pi_tree), probs, k_draw, k_update, k_refill, k_nys,
-        n_rec, n_nys, thresh)
+        n_rec, n_nys, thresh, mesh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
-                                    batch, obj_apply, obj_tree)
+                                    batch, obj_apply, obj_tree, mesh)
     return x_batch, w_rchq, probs_out
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde",
                                    "qmc", "batch", "kernel_apply",
-                                   "obj_apply", "pi_apply"))
+                                   "obj_apply", "pi_apply", "mesh"))
 def fused_iteration_cont_uniform(pi_tree, bounds, sobol_state,
                                  sobol_offset, k_draw, k_update, k_refill,
                                  k_nys, kernel_tree, *, n_rec: int,
                                  n_nys: int, thresh: int, n_kde: int,
                                  qmc: bool, batch: int, kernel_apply,
                                  obj_apply=None, obj_tree=None,
-                                 pi_apply=lfi_apply):
+                                 pi_apply=lfi_apply, mesh=None):
     """_uniform_pipeline + kernel recombination, one program.
 
     Returns (x_batch, w_rchq, wkde_params, did_update)."""
     x, x_nys, w, params, did = _uniform_pipeline(
         (pi_apply, pi_tree), bounds, sobol_state, sobol_offset, k_draw,
-        k_update, k_refill, k_nys, n_rec, n_nys, thresh, n_kde, qmc)
+        k_update, k_refill, k_nys, n_rec, n_nys, thresh, n_kde, qmc, mesh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
-                                    batch, obj_apply, obj_tree)
+                                    batch, obj_apply, obj_tree, mesh)
     return x_batch, w_rchq, params, did
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde",
                                    "batch", "kernel_apply", "obj_apply",
-                                   "pi_apply"))
+                                   "pi_apply", "mesh"))
 def fused_iteration_cont_wkde(pi_tree, params_old, bounds,
                               k_draw, k_update, k_refill, k_nys,
                               kernel_tree, *, n_rec: int, n_nys: int,
                               thresh: int, n_kde: int, batch: int,
                               kernel_apply, obj_apply=None, obj_tree=None,
-                              pi_apply=lfi_apply):
+                              pi_apply=lfi_apply, mesh=None):
     """_wkde_pipeline + kernel recombination, one program.
 
     Returns (x_batch, w_rchq, params_out)."""
     x, x_nys, w, params_out = _wkde_pipeline(
         (pi_apply, pi_tree), params_old, bounds, k_draw, k_update,
-        k_refill, k_nys, n_rec, n_nys, thresh, n_kde)
+        k_refill, k_nys, n_rec, n_nys, thresh, n_kde, mesh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
-                                    batch, obj_apply, obj_tree)
+                                    batch, obj_apply, obj_tree, mesh)
     return x_batch, w_rchq, params_out
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde",
                                    "batch", "kernel_apply", "obj_apply",
-                                   "pi_apply"))
+                                   "pi_apply", "mesh"))
 def fused_iteration_cont_gauss(pi_tree, mu, chol, k_draw, k_update,
                                k_refill, k_nys, kernel_tree, *, n_rec: int,
                                n_nys: int, thresh: int, n_kde: int,
                                batch: int, kernel_apply, obj_apply=None,
-                               obj_tree=None, pi_apply=lfi_apply):
+                               obj_tree=None, pi_apply=lfi_apply,
+                               mesh=None):
     """_gauss_pipeline + kernel recombination, one program.
 
     Returns (x_batch, w_rchq, wkde_params, did_update)."""
     x, x_nys, w, params, did = _gauss_pipeline(
         (pi_apply, pi_tree), mu, chol, k_draw, k_update, k_refill, k_nys,
-        n_rec, n_nys, thresh, n_kde)
+        n_rec, n_nys, thresh, n_kde, mesh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
-                                    batch, obj_apply, obj_tree)
+                                    batch, obj_apply, obj_tree, mesh)
     return x_batch, w_rchq, params, did
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "batch",
                                    "prune", "kernel_apply", "obj_apply",
-                                   "pi_apply"))
+                                   "pi_apply", "mesh"))
 def fused_iteration_dataset(pi_tree, x_all, avail_mask, k_nys,
                             kernel_tree, *, n_rec: int, n_nys: int,
                             thresh: float, batch: int, prune: bool,
                             kernel_apply, obj_apply=None, obj_tree=None,
-                            pi_apply=lfi_apply):
+                            pi_apply=lfi_apply, mesh=None):
     """Dataset domain: pi over the whole pool -> adaptive top-k pruning ->
     Nystrom subset -> kernel recombination, one program (the staged path:
     EmpiricalSampler.sampling_datasets + sampling_recombination).
@@ -585,18 +633,19 @@ def fused_iteration_dataset(pi_tree, x_all, avail_mask, k_nys,
     indices of the selected batch."""
     idx_sampled, x_cand, x_nys, w = _dataset_pipeline(
         (pi_apply, pi_tree), x_all, avail_mask, k_nys, n_rec, n_nys,
-        thresh, prune)
+        thresh, prune, mesh)
     x_batch, w_rchq, idx_local = _recombine(x_cand, x_nys, w, kernel_tree,
                                             kernel_apply, batch,
-                                            obj_apply, obj_tree)
+                                            obj_apply, obj_tree, mesh)
     return idx_sampled[idx_local], x_batch, w_rchq
 
 
 def _dataset_pipeline(pi, x_all, avail_mask, k_nys, n_rec: int,
-                      n_nys: int, thresh: float, prune: bool):
+                      n_nys: int, thresh: float, prune: bool, mesh=None):
     """pi over the whole pool -> adaptive top-k pruning -> Nystrom subset
     (the staged EmpiricalSampler.sampling_datasets body)."""
     pi_apply, pi_tree = pi
+    x_all = _shard_cand(x_all, mesh)
     w_all = pi_apply(pi_tree, x_all)
     w_all = jnp.where(avail_mask, w_all, 0.0)
     if prune:
@@ -699,7 +748,7 @@ def _disc_update(spec: DomainSpec, dtree_old, w, xd_vals, idxf):
 
 
 def _discrete_machinery(pi, spec: DomainSpec, bounds, disc_tree0,
-                        n_rec: int, n_kde: int):
+                        n_rec: int, n_kde: int, mesh=None):
     """draw_with/update_on closures over params = (cont_wkde, disc_tree);
     cont_wkde is () when spec.nc == 0."""
 
@@ -719,7 +768,7 @@ def _discrete_machinery(pi, spec: DomainSpec, bounds, disc_tree0,
             x = _join_blocks(spec, xc, xd)
             xA = (jnp.concatenate([x, idxf], axis=1) if spec.c_max else x)
             return xA, _pi_weights(pi, x, jnp.exp(lp))
-        return draw
+        return _shard_draw(draw, mesh)
 
     def update_on(xA, w):
         def upd(k):
@@ -744,7 +793,7 @@ def _select_nys_disc(spec: DomainSpec, k_nys, xA, w, take_head, n_nys: int):
 def _discrete_pipeline(pi, spec: DomainSpec, cont_tree, disc_tree,
                        sobol_state, sobol_offset, k_draw, k_update,
                        k_refill, k_nys, n_rec: int, n_nys: int, thresh: int,
-                       n_kde: int, qmc: bool, entry: str):
+                       n_kde: int, qmc: bool, entry: str, mesh=None):
     """entry: "none" (pure categorical), "uniform" (mixed, first
     iteration), "wkde" (mixed, after the first update). Returns
     (x_cand, x_nys, weights, (cont_params, disc_tree_out), did_update);
@@ -758,7 +807,7 @@ def _discrete_pipeline(pi, spec: DomainSpec, cont_tree, disc_tree,
         cont_old, bounds = cont_tree
 
     draw_with, update_on = _discrete_machinery(
-        pi, spec, bounds, disc_tree, n_rec, n_kde)
+        pi, spec, bounds, disc_tree, n_rec, n_kde, mesh)
 
     if entry == "uniform":
         lo, hi = bounds[0], bounds[1]
@@ -780,6 +829,7 @@ def _discrete_pipeline(pi, spec: DomainSpec, cont_tree, disc_tree,
             pdf = jnp.where(inside, jnp.exp(lp), 0.0)
             return xA, _pi_weights(pi, x, pdf)
 
+        draw_uniform = _shard_draw(draw_uniform, mesh)
         draw_old = draw_uniform   # PRNG on rare-branch redraws
         if qmc:
             u0 = sobol_sample(sobol_state,
@@ -803,51 +853,55 @@ def _discrete_pipeline(pi, spec: DomainSpec, cont_tree, disc_tree,
 
 
 @partial(jax.jit, static_argnames=("spec", "n_rec", "n_nys", "thresh",
-                                   "n_kde", "qmc", "entry", "pi_apply"))
+                                   "n_kde", "qmc", "entry", "pi_apply",
+                                   "mesh"))
 def fused_candidates_discrete(pi_tree, cont_tree, disc_tree,
                               sobol_state, sobol_offset, k_draw, k_update,
                               k_refill, k_nys, *, spec: DomainSpec,
                               n_rec: int, n_nys: int, thresh: int,
                               n_kde: int, qmc: bool, entry: str,
-                              pi_apply=lfi_apply):
+                              pi_apply=lfi_apply, mesh=None):
     """Jitted wrapper of _discrete_pipeline (see its docstring)."""
     return _discrete_pipeline((pi_apply, pi_tree), spec, cont_tree,
                               disc_tree, sobol_state, sobol_offset, k_draw,
                               k_update, k_refill, k_nys, n_rec, n_nys,
-                              thresh, n_kde, qmc, entry)
+                              thresh, n_kde, qmc, entry, mesh)
 
 
 @partial(jax.jit, static_argnames=("spec", "n_rec", "n_nys", "thresh",
                                    "n_kde", "qmc", "entry", "batch",
-                                   "kernel_apply", "obj_apply", "pi_apply"))
+                                   "kernel_apply", "obj_apply", "pi_apply",
+                                   "mesh"))
 def fused_iteration_discrete(pi_tree, cont_tree, disc_tree,
                              sobol_state, sobol_offset, k_draw, k_update,
                              k_refill, k_nys, kernel_tree, *,
                              spec: DomainSpec, n_rec: int, n_nys: int,
                              thresh: int, n_kde: int, qmc: bool, entry: str,
                              batch: int, kernel_apply, obj_apply=None,
-                             obj_tree=None, pi_apply=lfi_apply):
+                             obj_tree=None, pi_apply=lfi_apply, mesh=None):
     """_discrete_pipeline + kernel recombination, one program.
 
     Returns (x_batch, w_rchq, (cont_params, disc_tree_out), did)."""
     x, x_nys, w, params, did = _discrete_pipeline(
         (pi_apply, pi_tree), spec, cont_tree, disc_tree, sobol_state,
         sobol_offset, k_draw, k_update, k_refill, k_nys, n_rec, n_nys,
-        thresh, n_kde, qmc, entry)
+        thresh, n_kde, qmc, entry, mesh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
-                                    batch, obj_apply, obj_tree)
+                                    batch, obj_apply, obj_tree, mesh)
     return x_batch, w_rchq, params, did
 
 
 @partial(jax.jit, static_argnames=("cfg", "optimiser", "spec", "n_rec",
                                    "n_nys", "thresh", "n_kde", "qmc",
-                                   "entry", "batch", "kernel_apply"))
+                                   "entry", "batch", "kernel_apply",
+                                   "mesh"))
 def fused_bo_step_discrete(x_pad, y_pad, mask, cont_tree, disc_tree,
                            sobol_state, sobol_offset, k_draw, k_update,
                            k_refill, k_nys, *, cfg, optimiser: str,
                            spec: DomainSpec, n_rec: int, n_nys: int,
                            thresh: int, n_kde: int, qmc: bool, entry: str,
-                           batch: int, kernel_apply, params0=None):
+                           batch: int, kernel_apply, params0=None,
+                           mesh=None):
     """Refit + _discrete_pipeline + recombination, one program.
 
     Returns (state, x_batch, w_rchq, (cont_params, disc_tree_out), did)."""
@@ -855,8 +909,9 @@ def fused_bo_step_discrete(x_pad, y_pad, mask, cont_tree, disc_tree,
     x, x_nys, w, params, did = _discrete_pipeline(
         (lfi_apply, (state, eta)), spec, cont_tree, disc_tree, sobol_state,
         sobol_offset, k_draw, k_update, k_refill, k_nys, n_rec, n_nys,
-        thresh, n_kde, qmc, entry)
-    x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch)
+        thresh, n_kde, qmc, entry, mesh)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch,
+                                    mesh=mesh)
     return state, x_batch, w_rchq, params, did
 
 
@@ -880,31 +935,33 @@ def _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser, params0=None):
 
 
 @partial(jax.jit, static_argnames=("cfg", "optimiser", "n_rec", "n_nys",
-                                   "thresh", "batch", "kernel_apply"))
+                                   "thresh", "batch", "kernel_apply",
+                                   "mesh"))
 def fused_bo_step_binary(x_pad, y_pad, mask, probs, k_draw, k_update,
                          k_refill, k_nys, *, cfg, optimiser: str,
                          n_rec: int, n_nys: int, thresh: int, batch: int,
-                         kernel_apply, params0=None):
+                         kernel_apply, params0=None, mesh=None):
     """Refit + _binary_pipeline + recombination, one program.
 
     Returns (state, x_batch, w_rchq, probs_out)."""
     state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser, params0)
     x, x_nys, w, probs_out = _binary_pipeline(
         (lfi_apply, (state, eta)), probs, k_draw, k_update, k_refill,
-        k_nys, n_rec, n_nys, thresh)
-    x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch)
+        k_nys, n_rec, n_nys, thresh, mesh)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch,
+                                    mesh=mesh)
     return state, x_batch, w_rchq, probs_out
 
 
 @partial(jax.jit, static_argnames=("cfg", "optimiser", "n_rec", "n_nys",
                                    "thresh", "n_kde", "qmc", "batch",
-                                   "kernel_apply"))
+                                   "kernel_apply", "mesh"))
 def fused_bo_step_cont_uniform(x_pad, y_pad, mask, bounds, sobol_state,
                                sobol_offset, k_draw, k_update, k_refill,
                                k_nys, *, cfg, optimiser: str, n_rec: int,
                                n_nys: int, thresh: int, n_kde: int,
                                qmc: bool, batch: int, kernel_apply,
-                               params0=None):
+                               params0=None, mesh=None):
     """Refit + _uniform_pipeline + recombination, one program.
 
     Returns (state, x_batch, w_rchq, wkde_params, did_update)."""
@@ -912,46 +969,49 @@ def fused_bo_step_cont_uniform(x_pad, y_pad, mask, bounds, sobol_state,
     x, x_nys, w, params, did = _uniform_pipeline(
         (lfi_apply, (state, eta)), bounds, sobol_state, sobol_offset,
         k_draw, k_update, k_refill, k_nys, n_rec, n_nys, thresh, n_kde,
-        qmc)
-    x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch)
+        qmc, mesh)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch,
+                                    mesh=mesh)
     return state, x_batch, w_rchq, params, did
 
 
 @partial(jax.jit, static_argnames=("cfg", "optimiser", "n_rec", "n_nys",
                                    "thresh", "n_kde", "batch",
-                                   "kernel_apply"))
+                                   "kernel_apply", "mesh"))
 def fused_bo_step_cont_gauss(x_pad, y_pad, mask, mu, chol, k_draw,
                              k_update, k_refill, k_nys, *, cfg,
                              optimiser: str, n_rec: int, n_nys: int,
                              thresh: int, n_kde: int, batch: int,
-                             kernel_apply, params0=None):
+                             kernel_apply, params0=None, mesh=None):
     """Refit + _gauss_pipeline + recombination, one program.
 
     Returns (state, x_batch, w_rchq, wkde_params, did_update)."""
     state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser, params0)
     x, x_nys, w, params, did = _gauss_pipeline(
         (lfi_apply, (state, eta)), mu, chol, k_draw, k_update, k_refill,
-        k_nys, n_rec, n_nys, thresh, n_kde)
-    x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch)
+        k_nys, n_rec, n_nys, thresh, n_kde, mesh)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch,
+                                    mesh=mesh)
     return state, x_batch, w_rchq, params, did
 
 
 @partial(jax.jit, static_argnames=("cfg", "optimiser", "n_rec", "n_nys",
                                    "thresh", "n_kde", "batch",
-                                   "kernel_apply"))
+                                   "kernel_apply", "mesh"))
 def fused_bo_step_cont_wkde(x_pad, y_pad, mask, params_old, bounds, k_draw,
                             k_update, k_refill, k_nys, *, cfg,
                             optimiser: str, n_rec: int, n_nys: int,
                             thresh: int, n_kde: int, batch: int,
-                            kernel_apply, params0=None):
+                            kernel_apply, params0=None, mesh=None):
     """Refit + _wkde_pipeline + recombination, one program.
 
     Returns (state, x_batch, w_rchq, params_out)."""
     state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser, params0)
     x, x_nys, w, params_out = _wkde_pipeline(
         (lfi_apply, (state, eta)), params_old, bounds, k_draw, k_update,
-        k_refill, k_nys, n_rec, n_nys, thresh, n_kde)
-    x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch)
+        k_refill, k_nys, n_rec, n_nys, thresh, n_kde, mesh)
+    x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch,
+                                    mesh=mesh)
     return state, x_batch, w_rchq, params_out
 
 
@@ -995,7 +1055,7 @@ def _fbgp_fit_and_tree(x_pad, y_pad, mask, hypermu, hyperstd, k_hyper,
 
 _FBGP_STEP_STATICS = ("cfg", "optimiser", "alpha_factor", "n_hypers",
                       "n_nys_qd", "n_qd", "n_rec", "n_nys", "thresh",
-                      "n_kde", "batch", "acq_apply")
+                      "n_kde", "batch", "acq_apply", "mesh")
 
 
 def _fbgp_step_out(tree, alpha, fobs, x_batch, w_rchq, *tail):
@@ -1020,7 +1080,8 @@ def fused_fbgp_step_cont_uniform(x_pad, y_pad, mask, hypermu, hyperstd,
                                  alpha_factor: float, n_hypers: int,
                                  n_nys_qd: int, n_qd: int, n_rec: int,
                                  n_nys: int, thresh: int, n_kde: int,
-                                 qmc: bool, batch: int, acq_apply=None):
+                                 qmc: bool, batch: int, acq_apply=None,
+                                 mesh=None):
     """WSABI fit + hyper pipeline + _uniform_pipeline + recombination, one
     program. `acq_apply` is an optional FBGP acquisition apply
     (gp/fbgp.py:_fbgp_acq_*): the augmented objective row is then computed
@@ -1034,10 +1095,10 @@ def fused_fbgp_step_cont_uniform(x_pad, y_pad, mask, hypermu, hyperstd,
         optimiser, alpha_factor, n_hypers, n_nys_qd, n_qd)
     x, x_nys, w, params, did = _uniform_pipeline(
         (fbgp_pi_apply, tree), bounds, sobol_state, sobol_offset, k_draw,
-        k_update, k_refill, k_nys, n_rec, n_nys, thresh, n_kde, qmc)
+        k_update, k_refill, k_nys, n_rec, n_nys, thresh, n_kde, qmc, mesh)
     x_batch, w_rchq, _ = _recombine(
         x, x_nys, w, tree, _fbgp_cov_apply, batch, acq_apply,
-        tree if acq_apply is not None else None)
+        tree if acq_apply is not None else None, mesh)
     return _fbgp_step_out(tree, alpha, fobs, x_batch, w_rchq, params, did)
 
 
@@ -1048,7 +1109,8 @@ def fused_fbgp_step_cont_wkde(x_pad, y_pad, mask, hypermu, hyperstd,
                               optimiser: str, alpha_factor: float,
                               n_hypers: int, n_nys_qd: int, n_qd: int,
                               n_rec: int, n_nys: int, thresh: int,
-                              n_kde: int, batch: int, acq_apply=None):
+                              n_kde: int, batch: int, acq_apply=None,
+                              mesh=None):
     """WSABI fit + hyper pipeline + _wkde_pipeline + recombination, one
     program. Returns (alpha, fobs, w_qd, theta_qd, chol, alpha_ch,
     x_batch, w_rchq, params_out)."""
@@ -1059,10 +1121,10 @@ def fused_fbgp_step_cont_wkde(x_pad, y_pad, mask, hypermu, hyperstd,
         optimiser, alpha_factor, n_hypers, n_nys_qd, n_qd)
     x, x_nys, w, params_out = _wkde_pipeline(
         (fbgp_pi_apply, tree), params_old, bounds, k_draw, k_update,
-        k_refill, k_nys, n_rec, n_nys, thresh, n_kde)
+        k_refill, k_nys, n_rec, n_nys, thresh, n_kde, mesh)
     x_batch, w_rchq, _ = _recombine(
         x, x_nys, w, tree, _fbgp_cov_apply, batch, acq_apply,
-        tree if acq_apply is not None else None)
+        tree if acq_apply is not None else None, mesh)
     return _fbgp_step_out(tree, alpha, fobs, x_batch, w_rchq, params_out)
 
 
@@ -1073,7 +1135,8 @@ def fused_fbgp_step_cont_gauss(x_pad, y_pad, mask, hypermu, hyperstd,
                                optimiser: str, alpha_factor: float,
                                n_hypers: int, n_nys_qd: int, n_qd: int,
                                n_rec: int, n_nys: int, thresh: int,
-                               n_kde: int, batch: int, acq_apply=None):
+                               n_kde: int, batch: int, acq_apply=None,
+                               mesh=None):
     """WSABI fit + hyper pipeline + _gauss_pipeline + recombination, one
     program. Returns (alpha, fobs, w_qd, theta_qd, chol, alpha_ch,
     x_batch, w_rchq, wkde_params, did_update)."""
@@ -1084,27 +1147,27 @@ def fused_fbgp_step_cont_gauss(x_pad, y_pad, mask, hypermu, hyperstd,
         optimiser, alpha_factor, n_hypers, n_nys_qd, n_qd)
     x, x_nys, w, params, did = _gauss_pipeline(
         (fbgp_pi_apply, tree), mu, chol_prior, k_draw, k_update, k_refill,
-        k_nys, n_rec, n_nys, thresh, n_kde)
+        k_nys, n_rec, n_nys, thresh, n_kde, mesh)
     x_batch, w_rchq, _ = _recombine(
         x, x_nys, w, tree, _fbgp_cov_apply, batch, acq_apply,
-        tree if acq_apply is not None else None)
+        tree if acq_apply is not None else None, mesh)
     return _fbgp_step_out(tree, alpha, fobs, x_batch, w_rchq, params, did)
 
 
 @partial(jax.jit, static_argnames=("cfg", "optimiser", "n_rec", "n_nys",
                                    "thresh", "batch", "prune",
-                                   "kernel_apply"))
+                                   "kernel_apply", "mesh"))
 def fused_bo_step_dataset(x_pad, y_pad, mask, x_all, avail_mask, k_nys, *,
                           cfg, optimiser: str, n_rec: int, n_nys: int,
                           thresh: float, batch: int, prune: bool,
-                          kernel_apply, params0=None):
+                          kernel_apply, params0=None, mesh=None):
     """Refit + dataset pi sweep + pruning + recombination, one program.
 
     Returns (state, idx_global, x_batch, w_rchq)."""
     state, eta = _fit_and_eta(x_pad, y_pad, mask, cfg, optimiser, params0)
     idx_sampled, x_cand, x_nys, w = _dataset_pipeline(
         (lfi_apply, (state, eta)), x_all, avail_mask, k_nys, n_rec, n_nys,
-        thresh, prune)
+        thresh, prune, mesh)
     x_batch, w_rchq, idx_local = _recombine(x_cand, x_nys, w, state,
-                                            kernel_apply, batch)
+                                            kernel_apply, batch, mesh=mesh)
     return state, idx_sampled[idx_local], x_batch, w_rchq

@@ -263,10 +263,12 @@ class EmpiricalSampler(RecombinationSampler):
         update -> refill redraw -> Nystrom subset traced into a single XLA
         program, eliminating the per-stage host round-trips of the staged
         path below. Returns (x_cand, x_nys, weights) or None when the
-        configuration isn't covered (mesh mode, non-GPState pi, exotic
-        continuous priors; dataset pools go through
+        configuration isn't covered (blockwise-schedule mesh mode,
+        non-GPState pi, exotic continuous priors; dataset pools go through
         _fused_dataset_iteration instead) — the staged host path then runs
-        unchanged. In the common branch the fused program
+        unchanged. Under Sober(mesh=..., schedule="gspmd") the fused
+        programs run with candidate pools sharded over the mesh's "cand"
+        axis (fused_sampling._shard_cand). In the common branch the fused program
         consumes the same 4 KeyRing keys through the same primitives as the
         host path; outputs match the staged path in distribution (exactly,
         unless ulp-level XLA fusion noise shifts a stochastic resampler —
@@ -309,7 +311,7 @@ class EmpiricalSampler(RecombinationSampler):
         covered."""
         from ..priors.dataset import DatasetPrior
 
-        if (self.mesh is not None
+        if ((self.mesh is not None and self.schedule != "gspmd")
                 or not hasattr(self.kernel, "rc_apply")
                 or type(self.prior) is not DatasetPrior):
             return None
@@ -323,6 +325,8 @@ class EmpiricalSampler(RecombinationSampler):
         common = dict(n_rec=n_rec, n_nys=n_nys, thresh=PRUNE_THRESH,
                       batch=batch, prune=prune,
                       kernel_apply=self.kernel.rc_apply)
+        if self.mesh is not None:
+            common.update(mesh=self.mesh)
         if fit is not None:
             return fs.fused_bo_step_dataset(
                 *fit[:3], *pool, cfg=fit[3], optimiser=fit[4],
@@ -355,7 +359,9 @@ class EmpiricalSampler(RecombinationSampler):
 
     def _fused_dispatch(self, n_rec: int, n_nys: int, batch, fit=None,
                         obj=None, fbgp_fit=None):
-        if self.mesh is not None:
+        if self.mesh is not None and self.schedule != "gspmd":
+            # the blockwise schedule's explicit shard_map recombination
+            # (parallel/sharded.py) only exists on the staged path
             return None
         # four modes share the pipeline bodies (core/fused_sampling.py):
         #   candidates-only (batch None), candidates+recombination
@@ -393,6 +399,12 @@ class EmpiricalSampler(RecombinationSampler):
                     # mode excluded — its obj tree would be stale
                     # pre-refit)
                     rc.update(obj_apply=obj[0], obj_tree=obj[1])
+        if self.mesh is not None:
+            # gspmd mesh mode: the SAME one-dispatch programs run with
+            # candidate pools constrained to P("cand", ...) inside the
+            # trace (fused_sampling._shard_cand) — XLA partitions the pi
+            # sweep, feature strip and reduction bulk over the mesh
+            rc.update(mesh=self.mesh)
 
         if self.label == "binary" and type(self.prior) is BinaryPrior:
             if fstep:

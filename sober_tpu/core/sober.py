@@ -257,9 +257,11 @@ class Sober(EmpiricalSampler):
             sober.next_batch(n_rec, n_nys, batch_size, ...)
 
         and falls back to exactly that staged sequence when the fused path
-        doesn't cover the configuration (mesh mode, exotic priors, kernels
-        without the rc protocol; categorical/mixed/dataset domains ARE
-        covered via fused_bo_step_discrete/_dataset). The learned proposal,
+        doesn't cover the configuration (blockwise-schedule mesh mode,
+        exotic priors, kernels without the rc protocol; categorical/mixed/
+        dataset domains ARE covered via fused_bo_step_discrete/_dataset,
+        and gspmd mesh mode runs the same fused programs with the
+        candidate axis sharded over the mesh). The learned proposal,
         prior-reset heuristic, and dataset pruning all stay active.
 
         FBGP/BQ models are rejected with a TypeError: `step` refits a plain
