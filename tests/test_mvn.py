@@ -225,14 +225,14 @@ class TestTMVN:
 
     def _check_vs_rejection(self, mu, cov, lo, hi, n=20000,
                             n_prop=2_000_000, mean_tol=0.05, sd_tol=0.06,
-                            seed=1):
+                            seed=1, method="gibbs"):
         """Moments vs long-rejection ground truth, errors in sd units."""
         rng = np.random.default_rng(seed)
         chol = np.linalg.cholesky(cov)
         raw = mu + rng.standard_normal((n_prop, len(mu))) @ chol.T
         keep = raw[((raw > lo) & (raw < hi)).all(axis=1)]
         assert len(keep) > 500, "rejection truth too thin for this box"
-        sampler = TruncatedMVN(mu, cov, np.stack([lo, hi]))
+        sampler = TruncatedMVN(mu, cov, np.stack([lo, hi]), method=method)
         s = np.asarray(sampler.sample(KEY, n))
         assert ((s > lo - 1e-4) & (s < hi + 1e-4)).all()
         sd = keep.std(0)
@@ -280,6 +280,71 @@ class TestTMVN:
         assert ((s >= 3.0 - 1e-4) & (s <= 4.0 + 1e-4)).all()
         # mass concentrates at the near corner
         assert s.mean() < 3.5
+
+
+class TestTMVNTilting:
+    """Botev minimax-tilting exactness mode (VERDICT r3 item #7;
+    reference SOBER/_tmvn.py:90-129 accept-reject, :153 tilting root,
+    :356 colperm Cholesky). iid draws -> tighter moment tolerances than
+    the Gibbs chain's, plus an acceptance-rate diagnostic."""
+
+    def test_correlated_box_moments(self):
+        cov = np.array([[1.0, 0.6], [0.6, 1.0]])
+        mu = np.array([0.5, -0.5])
+        t = TestTMVN()
+        sampler = t._check_vs_rejection(
+            mu, cov, np.array([-0.5, -2.0]), np.array([1.5, 0.5]),
+            mean_tol=0.03, sd_tol=0.04, method="tilting")
+        assert sampler.last_accept_rate > 0.3
+
+    def test_tail_box_beats_gibbs_tolerance(self):
+        """The rho=0.8 tail box from the Gibbs test, at HALF its
+        tolerances: iid tilting draws carry no chain correlation, so the
+        same sample count buys a tighter moment match (the VERDICT's
+        'beating the Gibbs ESS-adjusted error' bar)."""
+        rho = 0.8
+        cov = np.array([[1.0, rho], [rho, 1.0]])
+        t = TestTMVN()
+        sampler = t._check_vs_rejection(
+            np.zeros(2), cov, np.array([2.0, 2.0]), np.array([4.0, 4.0]),
+            n_prop=6_000_000, mean_tol=0.04, sd_tol=0.05,
+            method="tilting")
+        # minimax tilting keeps acceptance high even at ~1e-2 box mass
+        assert sampler.last_accept_rate > 0.5
+
+    def test_d15_random_covariance(self):
+        rng = np.random.default_rng(3)
+        d = 15
+        a = rng.normal(size=(d, d))
+        cov = a @ a.T + 0.5 * np.eye(d)
+        sd = np.sqrt(np.diag(cov))
+        mu = rng.normal(size=d)
+        t = TestTMVN()
+        sampler = t._check_vs_rejection(
+            mu, cov, mu - 1.5 * sd, mu + 1.5 * sd, n_prop=4_000_000,
+            mean_tol=0.05, sd_tol=0.05, method="tilting")
+        assert sampler.last_accept_rate > 0.1
+
+    def test_deep_tail_univariate(self):
+        """d=1 degenerate saddle (no free tilting coordinates) on a box
+        5 sigma out — exact against scipy.truncnorm moments."""
+        from scipy.stats import truncnorm
+
+        sampler = TruncatedMVN(np.zeros(1), np.eye(1),
+                               np.array([[5.0], [6.0]]), method="tilting")
+        s = np.asarray(sampler.sample(KEY, 4000))[:, 0]
+        assert ((s >= 5.0) & (s <= 6.0)).all()
+        dist = truncnorm(5.0, 6.0)
+        assert abs(s.mean() - dist.mean()) < 0.01
+        assert abs(s.std() - dist.std()) < 0.01
+
+    def test_method_validation(self):
+        import pytest
+
+        with pytest.raises(ValueError):
+            TruncatedMVN(np.zeros(2), np.eye(2),
+                         np.array([[0.0, 0.0], [1.0, 1.0]]),
+                         method="botev")
 
 
 class TestTruncatedGaussianUpgrade:
