@@ -313,6 +313,16 @@ def _watchdog(limit_s=1500):
 
 
 def main():
+    # Persistent compilation cache: the six bench programs are large and
+    # first-compiles through the tunnel take minutes each; caching them on
+    # disk means a rerun (or the driver's end-of-round run) starts warm.
+    # Misses degrade gracefully if the backend rejects serialization.
+    import os
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _probe_backend()
     rearm = _watchdog()
     steps = [

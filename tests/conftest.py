@@ -19,6 +19,16 @@ if os.environ.get("SOBER_TEST_PLATFORM", "cpu") == "cpu":
 
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Persistent compilation cache: the suite is compile-dominated on this
+# 1-core box (the big fused/sharded programs take minutes each on XLA:CPU);
+# caching them on disk makes reruns start from warm executables. Misses
+# degrade gracefully, and the on-disk cache is orthogonal to the in-process
+# clear_caches() below (reloading from disk still bounds the map count).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..",
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 # XLA:CPU leaks virtual-memory mappings across compilations (each compiled
 # executable holds JIT code pages); a full-suite run in one process crosses
