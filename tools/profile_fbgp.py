@@ -1,0 +1,179 @@
+"""Stage profile of the fused FBGP hyper pipeline (gp.fbgp.fbgp_refit).
+
+Times each stage of fbgp_refit_traced at the bench config (n_obs=100 ->
+bucket 128, n_hypers=1000, n_nys=100, n_qd=50) with the chained-eval
+harness (CLAUDE.md "Measurement through the dev tunnel"): K dependent
+evals inside ONE jitted program, fetch a scalar, subtract the tunnel
+round-trip measured with a tiny program. `jax.block_until_ready` does not
+actually block through the axon tunnel, so naive per-call timing is
+meaningless here.
+
+Stages (matching fbgp_refit_traced, gp/fbgp.py):
+  1. draw+lml_sweep   hyperprior draw + 1001-theta vmapped FITBO LML
+  2. surrogate_fit    exp-warped hyper-surrogate MAP fit on (1001, 4)
+  3. distillation     deweighted resampling + RCHQ recombination to n_qd
+  4. chain_caches     50 x Cholesky(128) conditioning caches
+  5. full             the whole fused program
+
+Run on the real TPU: python tools/profile_fbgp.py [K]
+"""
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, "/root/repo")
+
+N_OBS, D = 100, 3
+N_HYPERS, N_NYS, N_QD = 1000, 100, 50
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+
+
+def timed(fn, *args, n=7):
+    out = fn(*args)
+    s = float(jax.tree_util.tree_leaves(out)[0].ravel()[0])  # sync fetch
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        s += float(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)), s
+
+
+def main():
+    from sober_tpu.gp.fbgp import (FitboGP, RBFHyperPrior, _VBQ_CFG,
+                                   _chain_cache, fbgp_refit_traced,
+                                   fitbo_mll, _theta_map_of)
+    from sober_tpu.gp.exact import fit_params, materialize
+    from sober_tpu.core.rchq import _recombination_impl
+    from sober_tpu.utils.linalg import remove_anomalies
+    from sober_tpu.utils.weights import cleansing_weights, \
+        deweighted_resampling
+
+    rng = np.random.default_rng(0)
+    x_raw = jnp.asarray(rng.uniform(-1, 1, (N_OBS, D)), jnp.float32)
+    ll = -0.5 * jnp.sum((x_raw / 0.6) ** 2, axis=1)
+    model = FitboGP(x_raw, jnp.exp(ll))
+    hp = RBFHyperPrior()
+    theta_map = _theta_map_of(model, hp)
+    x = model.model.x
+    fobs = model.fobs_padded
+    mask = model.model.mask
+    eta = model.alpha
+    k_sample, k_nys = jax.random.split(jax.random.key(0))
+
+    # round-trip cost: tiny program, same fetch pattern
+    @jax.jit
+    def tiny(a):
+        return a + 1.0
+
+    rt, _ = timed(tiny, jnp.zeros(()))
+    print(f"tunnel round-trip ~{rt*1e3:.1f} ms")
+
+    # materialize intermediate stage inputs once (host side)
+    dim = hp.hypermu.shape[0]
+    z = jax.random.normal(k_sample, (N_HYPERS, dim))
+    samples = jnp.vstack([
+        jnp.concatenate([jnp.array([-10.0]), jnp.log(theta_map)])[None, :],
+        hp.hypermu[None, :] + z * hp.hyperstd[None, :],
+    ])
+    sweep = jax.vmap(fitbo_mll, in_axes=(0, None, None, None, None))
+    lmls = sweep(samples, x, fobs, eta, mask)
+    big = jnp.exp(samples)
+    hypersamples = jnp.concatenate([eta + big[:, :1], big[:, 1:]], axis=1)
+    weights0 = cleansing_weights(jnp.exp(lmls - jnp.max(lmls)))
+    idx_nys = deweighted_resampling(k_nys, weights0, N_NYS)
+    hyper_nys = hypersamples[idx_nys]
+    y_exp0 = jnp.exp(remove_anomalies(lmls) - jnp.max(remove_anomalies(lmls)))
+    params_fit = fit_params(hypersamples, y_exp0, _VBQ_CFG,
+                            optimiser="lbfgs")
+    kernel_fit, _ = materialize(params_fit, _VBQ_CFG)
+    idx_qd, w_qd = _recombination_impl(hypersamples, hyper_nys, N_QD,
+                                       kernel_fit.gram,
+                                       init_weights=weights0)
+    theta_qd = hypersamples[idx_qd]
+
+    # --- stage programs, each chained K times ------------------------------
+    @jax.jit
+    def stage_sweep(eta0):
+        acc = jnp.zeros(())
+        for _ in range(K):
+            e = eta0 + acc * 1e-20
+            z = jax.random.normal(k_sample, (N_HYPERS, dim))
+            s = jnp.vstack([
+                jnp.concatenate(
+                    [jnp.array([-10.0]), jnp.log(theta_map)])[None, :],
+                hp.hypermu[None, :] + z * hp.hyperstd[None, :],
+            ])
+            lm = sweep(s, x, fobs, e, mask)
+            acc = acc + jnp.sum(lm)
+        return acc
+
+    @jax.jit
+    def stage_fit(y0):
+        acc = jnp.zeros(())
+        for _ in range(K):
+            ye = y0 * (1.0 + acc * 1e-20)
+            p = fit_params(hypersamples, ye, _VBQ_CFG, optimiser="lbfgs")
+            acc = acc + jnp.sum(p.raw_lengthscale) + jnp.sum(p.raw_outputscale)
+        return acc
+
+    @jax.jit
+    def stage_distill(w0):
+        acc = jnp.zeros(())
+        for _ in range(K):
+            w = w0 * (1.0 + acc * 1e-20)
+            w = w / jnp.sum(w)
+            i_nys = deweighted_resampling(k_nys, w, N_NYS)
+            idx, wq = _recombination_impl(hypersamples, hypersamples[i_nys],
+                                          N_QD, kernel_fit.gram,
+                                          init_weights=w)
+            acc = acc + jnp.sum(wq)
+        return acc
+
+    @jax.jit
+    def stage_chains(f0):
+        acc = jnp.zeros(())
+        for _ in range(K):
+            fe = f0 + acc * 1e-20
+            chol, alpha = jax.vmap(
+                _chain_cache, in_axes=(0, None, None, None))(
+                    theta_qd, x, fe, mask)
+            acc = acc + jnp.sum(alpha)
+        return acc
+
+    @jax.jit
+    def stage_full(eta0):
+        acc = jnp.zeros(())
+        for _ in range(K):
+            e = eta0 + acc * 1e-20
+            w, t, c, a = fbgp_refit_traced(
+                x, fobs, mask, e, theta_map, hp.hypermu, hp.hyperstd,
+                k_sample, k_nys, n_hypers=N_HYPERS, n_nys=N_NYS, n_qd=N_QD,
+                cfg=_VBQ_CFG)
+            acc = acc + jnp.sum(a)
+        return acc
+
+    rows = [
+        ("draw+lml_sweep", stage_sweep, eta),
+        ("surrogate_fit", stage_fit, y_exp0),
+        ("distillation", stage_distill, weights0),
+        ("chain_caches", stage_chains, fobs),
+        ("full_fused", stage_full, eta),
+    ]
+    print(f"chained K={K} evals per program; per-eval ms below")
+    total = 0.0
+    for name, fn, arg in rows:
+        t, _ = timed(fn, arg)
+        per = (t - rt) / K * 1e3
+        if name != "full_fused":
+            total += per
+        print(f"{name:>16}: {per:8.2f} ms/eval   (program {t*1e3:.1f} ms)")
+    print(f"{'sum of stages':>16}: {total:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
