@@ -36,8 +36,8 @@ from jax.scipy.linalg import cho_solve, solve_triangular
 from ..ops.kernels import rbf_gram
 from ..utils.linalg import jitter_cholesky, remove_anomalies
 from ..utils.weights import cleansing_weights, deweighted_resampling
-from .exact import (GPConfig, GPState, fit_gp, fit_params, materialize,
-                    predict, predictive_covariance)
+from .exact import (GPConfig, GPState, build_state, fit_gp, fit_params,
+                    materialize, predict, predictive_covariance)
 
 # Device-free module constants: computed with math/numpy, NOT jnp ops —
 # a jnp op at import time initializes the default backend, which breaks the
@@ -221,14 +221,41 @@ class RBFHyperPrior:
 # FITBO marginal likelihood as a pure function of theta
 # ----------------------------------------------------------------------------
 
+def _rbf_gram_xx(x, ls, os_):
+    """RBF self-Gram written so the pairwise squared differences are
+    theta-INDEPENDENT: under the vmapped hypersample sweep the (n, n, d)
+    `diff2` tensor is an unbatched operand computed once and shared across
+    all 1001 thetas, and the per-theta work collapses to one matvec + one
+    fused scale/exp pass (vs re-deriving a batched sqdist per theta)."""
+    diff2 = (x[:, None, :] - x[None, :, :]) ** 2        # (n, n, d) shared
+    inv_ls2 = jnp.broadcast_to(1.0 / ls**2, (x.shape[1],))
+    d2 = diff2 @ inv_ls2                                # batched matvec
+    return os_ * jnp.exp(-0.5 * d2)
+
+
+def _fixed_jitter_cholesky(a):
+    """ONE fixed-jitter factorization for the vmapped LML sweep. The jitter
+    equals jitter_cholesky's unconditional fp32 floor (1e-6 x mean diag), so
+    the first-try factorization is IDENTICAL; what changes is the failure
+    path: jitter_cholesky's escalation while_loop under vmap re-factorizes
+    the ENTIRE 1001-theta batch until the worst lane succeeds (each retry is
+    a full batched Cholesky — the sweep measured 109 ms/eval with it, the
+    dominant FBGP stage). Here a failing lane yields NaNs that fitbo_mll
+    already maps to EPS_LML — more principled than scoring an extreme
+    hypersample through a crudely over-jittered factorization, and the
+    escalation cost disappears for the 1000 good lanes."""
+    scale = jnp.maximum(jnp.mean(jnp.diagonal(a)), 1e-30)
+    n = a.shape[-1]
+    return jnp.linalg.cholesky(a + (1e-6 * scale) * jnp.eye(n, dtype=a.dtype))
+
+
 def _condition_g(x, g, noise, ls, os_, mask=None):
     """Condition a zero-mean RBF GP with fixed hypers on (x, g); return the
     posterior-at-train mean and covariance including observation noise (the
     likelihood-smeared model(Xobs) of SOBER/FBGP/_fully_Bayesian_gp.py:146-151).
     `mask` marks real rows of a padded observation buffer."""
     n = x.shape[0]
-    params = {"lengthscale": ls, "outputscale": os_}
-    kxx = rbf_gram(params, x, x)
+    kxx = _rbf_gram_xx(x, ls, os_)
     if mask is not None:
         mm = mask[:, None] * mask[None, :]
         kxx = kxx * mm
@@ -237,7 +264,7 @@ def _condition_g(x, g, noise, ls, os_, mask=None):
     else:
         kn = kxx + noise * jnp.eye(n, dtype=x.dtype)
         noise_diag = noise * jnp.eye(n, dtype=x.dtype)
-    chol, _ = jitter_cholesky(kn)
+    chol = _fixed_jitter_cholesky(kn)
     alpha = cho_solve((chol, True), g)
     mu = kxx @ alpha
     v = solve_triangular(chol, kxx, lower=True)          # (n, n)
@@ -272,7 +299,7 @@ def fitbo_mll(theta_log: jax.Array, x: jax.Array, fobs: jax.Array,
         mm = mask[:, None] * mask[None, :]
         cov_f = cov_f * mm + jnp.diag(1.0 - mask)
         diff = diff * mask
-    chol_f, _ = jitter_cholesky(cov_f)
+    chol_f = _fixed_jitter_cholesky(cov_f)
     w = solve_triangular(chol_f, diff, lower=True)
     logdiag = jnp.log(jnp.diagonal(chol_f))
     if mask is not None:
@@ -345,14 +372,27 @@ def sampling_hypers(model: FitboGP, hyperprior: RBFHyperPrior,
 # exp-warped hyper-surrogate (SOBER/FBGP/_scale_vbq.py)
 # ----------------------------------------------------------------------------
 
+# Hyper-surrogate MAP fits run on this many hypersamples (iid hyperprior
+# draws, so a prefix is an unbiased subsample; row 0 is the MAP special row
+# and is always kept). The fitted surrogate's ONLY consumer is its prior
+# kernel as the recombination RKHS — RCHQ moment matching stays exact by
+# construction for whatever kernel is chosen, so the lengthscale estimate
+# just needs to be sensible, and a Cholesky(256) per L-BFGS linesearch eval
+# is ~60x cheaper than the Cholesky(1001) the full fit pays.
+_SURROGATE_FIT_N = 256
+
+
 class ScaleVanillaGP:
     """exp-warped vanilla GP on log-likelihood observations
-    (SOBER/FBGP/_scale_vbq.py:7-171)."""
+    (SOBER/FBGP/_scale_vbq.py:7-171).
+
+    `fit_n` caps how many observations the hyperparameter MAP fit sees
+    (prediction still conditions on ALL observations); None fits on all."""
 
     def __init__(self, x_obs, y_log, kernel_name: str = "rbf",
                  lik: float = 1e-10, rng: float = 10.0,
                  train_lik: bool = False, optimiser: str = "lbfgs",
-                 fit_iters: int = 200):
+                 fit_iters: int = 200, fit_n: int | None = None):
         self.cfg = GPConfig(
             kernel_name=kernel_name, noise_lo=lik / rng, noise_hi=lik * rng,
             train_lik=train_lik, standardize_y=False, use_priors=False,
@@ -363,8 +403,14 @@ class ScaleVanillaGP:
         y = remove_anomalies(self.y_log)
         self.beta = jnp.max(y)
         y_exp = jnp.exp(y - self.beta)
-        self.model: GPState = fit_gp(jnp.asarray(x_obs), y_exp, self.cfg,
-                                     optimiser=self.optimiser)
+        x_obs = jnp.asarray(x_obs)
+        if fit_n is not None and x_obs.shape[0] > fit_n:
+            params = fit_params(x_obs[:fit_n], y_exp[:fit_n], self.cfg,
+                                optimiser=self.optimiser)
+            self.model: GPState = build_state(params, x_obs, y_exp, self.cfg)
+        else:
+            self.model = fit_gp(x_obs, y_exp, self.cfg,
+                                optimiser=self.optimiser)
 
     def predict(self, x):
         return predict(self.model, x)
@@ -377,6 +423,22 @@ class ScaleVanillaGP:
 
     def prior_kernel(self, x, y):
         return self.model.kernel.gram(x, y)
+
+
+def _nystrom_with_top(key, hypersamples, weights, n_nys: int):
+    """Nyström test-point subset: deweighted (inverse-probability) resampling
+    for coverage, PLUS the top-weighted hypersamples pinned in. The reference
+    subsamples purely deweighted (SOBER/_weights.py:79-93), but when the
+    hyperposterior is ultra-concentrated (ESS ~ 2 is routine for FITBO LMLs)
+    every deweighted draw lands in the low-weight bulk, no test function sees
+    the dominant hypersample, and RCHQ moment matching silently drops nearly
+    all the posterior mass. Pinning the argmax block makes the embedding at
+    the dominant thetas an explicit constraint, so the distilled measure must
+    preserve their weight."""
+    n_top = min(8, n_nys // 2)
+    top = jnp.argsort(weights)[-n_top:]
+    idx_nys = deweighted_resampling(key, weights, n_nys - n_top)
+    return jnp.concatenate([hypersamples[top], hypersamples[idx_nys]])
 
 
 def quadrature_distillation(hypersamples, lmls, n_nys: int = 100,
@@ -392,9 +454,8 @@ def quadrature_distillation(hypersamples, lmls, n_nys: int = 100,
         key = jax.random.key(1)
     weights = jnp.exp(lmls - jnp.max(lmls))
     weights = cleansing_weights(weights)
-    idx_nys = deweighted_resampling(key, weights, n_nys)
-    hyper_nys = hypersamples[idx_nys]
-    vbq = ScaleVanillaGP(hypersamples, lmls)
+    hyper_nys = _nystrom_with_top(key, hypersamples, weights, n_nys)
+    vbq = ScaleVanillaGP(hypersamples, lmls, fit_n=_SURROGATE_FIT_N)
     idx, w_qd = recombination(hypersamples, hyper_nys, n_qd,
                               vbq.prior_kernel, init_weights=weights)
     return w_qd, hypersamples[idx]
@@ -471,12 +532,13 @@ def fbgp_refit_traced(x, fobs, mask, eta, theta_map, hypermu, hyperstd,
     hypersamples = jnp.concatenate([eta + big[:, :1], big[:, 1:]], axis=1)
 
     weights = cleansing_weights(jnp.exp(lmls - jnp.max(lmls)))
-    idx_nys = deweighted_resampling(k_nys, weights, n_nys)
-    hyper_nys = hypersamples[idx_nys]
+    hyper_nys = _nystrom_with_top(k_nys, hypersamples, weights, n_nys)
 
     y_clamped = remove_anomalies(lmls)
     y_exp = jnp.exp(y_clamped - jnp.max(y_clamped))
-    params = fit_params(hypersamples, y_exp, cfg, optimiser="lbfgs")
+    n_fit = min(_SURROGATE_FIT_N, n_hypers + 1)
+    params = fit_params(hypersamples[:n_fit], y_exp[:n_fit], cfg,
+                        optimiser="lbfgs")
     kernel, _ = materialize(params, cfg)
 
     from ..core.rchq import _recombination_impl

@@ -101,3 +101,40 @@ def test_hartmann6_multiseed_acceptance():
     assert hits >= 2, (
         f"hartmann acceptance: only {hits}/3 seeds reached >=3.2 within 8 "
         f"batches (bests: {bests}); optimum 3.32237")
+
+
+# ----------------------------------------------------------------------------
+# Discrete trio (ising / maxsat / pest) — CPU-scale convergence bars
+# ----------------------------------------------------------------------------
+
+def _run_discrete(task: str, seed: int, n_iterations: int = 3):
+    """Run an example's BO loop at a CPU-practical config (reference-config
+    trajectories live in docs/ACCEPTANCE.md; this is the regression bar)."""
+    import importlib
+
+    mod = importlib.import_module(f"examples.{task}")
+    _, y, hist = mod.main(seed=seed, verbose=False, n_init=50,
+                          batch_size=50, n_rec=8192, n_nys=128,
+                          n_iterations=n_iterations)
+    init_best = float(y[:50].max())
+    return init_best, [b for _, b in hist]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("task,bar", [
+    ("ising", -0.85),    # measured seeds 0/1: -0.629 / -0.792 after 3 iters
+    ("maxsat", 20.0),    # measured: 24.92 / 20.58
+    ("pest", -8.40),     # measured: -8.22 / -7.98
+])
+def test_discrete_trio_convergence(task, bar):
+    """The discrete trio must IMPROVE on its initial design and clear a
+    task-specific bar within 3 batches of 50 at n_rec=8192, on at least one
+    of two seeds. Bars sit below both measured seeds' finals (2026-08-19,
+    CPU mesh) with ~0.1-0.5 margin; the reference records no optima for
+    these tasks (docs/ACCEPTANCE.md), so the signal is monotone improvement
+    at reproducible margins, not a known optimum."""
+    results = [_run_discrete(task, seed) for seed in (0, 1)]
+    improved = [traj[-1] > init + 1e-6 for init, traj in results]
+    cleared = [traj[-1] >= bar for _, traj in results]
+    assert any(improved), f"{task}: no seed improved on init ({results})"
+    assert any(cleared), f"{task}: no seed cleared {bar} ({results})"

@@ -221,9 +221,19 @@ class TestFBGP:
                                                  n_qd=16)
         staged = FullyBayesianGP(self.gp, w_qd, theta_qd)
         mu_s, _ = staged.marginal_predict(xq)
-        # different PRNG streams -> different support hypersamples, but the
-        # marginalized posterior mean must agree closely
-        assert np.allclose(np.asarray(mu_f), np.asarray(mu_s), atol=0.1)
+
+        # ground truth: the UNDISTILLED 201-chain posterior. The FITBO
+        # hyperposterior is ultra-concentrated here (ESS ~ 2), so this is
+        # the regression guard for the distillation dropping the dominant
+        # hypersample (the top-pinned Nystrom set in _nystrom_with_top);
+        # fused vs staged directly is the wrong comparison — they draw
+        # DIFFERENT hypersample sets from different PRNG streams.
+        w_full = jnp.exp(lmls - jnp.max(lmls))
+        w_full = w_full / jnp.sum(w_full)
+        full = FullyBayesianGP(self.gp, w_full, hypers)
+        mu_full, _ = full.marginal_predict(xq)
+        assert np.allclose(np.asarray(mu_s), np.asarray(mu_full), atol=0.25)
+        assert np.allclose(np.asarray(mu_f), np.asarray(mu_full), atol=0.25)
 
     def test_acquisitions_and_pi(self):
         hp = RBFHyperPrior()

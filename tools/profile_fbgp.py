@@ -96,66 +96,61 @@ def main():
                                        init_weights=weights0)
     theta_qd = hypersamples[idx_qd]
 
-    # --- stage programs, each chained K times ------------------------------
-    @jax.jit
-    def stage_sweep(eta0):
-        acc = jnp.zeros(())
-        for _ in range(K):
-            e = eta0 + acc * 1e-20
-            z = jax.random.normal(k_sample, (N_HYPERS, dim))
-            s = jnp.vstack([
-                jnp.concatenate(
-                    [jnp.array([-10.0]), jnp.log(theta_map)])[None, :],
-                hp.hypermu[None, :] + z * hp.hyperstd[None, :],
-            ])
-            lm = sweep(s, x, fobs, e, mask)
-            acc = acc + jnp.sum(lm)
-        return acc
+    # --- stage programs, each chained K times via fori_loop (one compiled
+    # body instead of a K-times-unrolled pipeline: the unrolled version of
+    # full_fused took >15 min to compile through the tunnel) ----------------
+    def chained(body):
+        @jax.jit
+        def run(arg):
+            return jax.lax.fori_loop(
+                0, K, lambda i, acc: acc + body(arg, acc * 1e-20),
+                jnp.zeros(()))
+        return run
 
-    @jax.jit
-    def stage_fit(y0):
-        acc = jnp.zeros(())
-        for _ in range(K):
-            ye = y0 * (1.0 + acc * 1e-20)
-            p = fit_params(hypersamples, ye, _VBQ_CFG, optimiser="lbfgs")
-            acc = acc + jnp.sum(p.raw_lengthscale) + jnp.sum(p.raw_outputscale)
-        return acc
+    def body_sweep(eta0, eps):
+        e = eta0 + eps
+        z = jax.random.normal(k_sample, (N_HYPERS, dim))
+        s = jnp.vstack([
+            jnp.concatenate(
+                [jnp.array([-10.0]), jnp.log(theta_map)])[None, :],
+            hp.hypermu[None, :] + z * hp.hyperstd[None, :],
+        ])
+        return jnp.sum(sweep(s, x, fobs, e, mask))
 
-    @jax.jit
-    def stage_distill(w0):
-        acc = jnp.zeros(())
-        for _ in range(K):
-            w = w0 * (1.0 + acc * 1e-20)
-            w = w / jnp.sum(w)
-            i_nys = deweighted_resampling(k_nys, w, N_NYS)
-            idx, wq = _recombination_impl(hypersamples, hypersamples[i_nys],
-                                          N_QD, kernel_fit.gram,
-                                          init_weights=w)
-            acc = acc + jnp.sum(wq)
-        return acc
+    def body_fit(y0, eps):
+        ye = y0 * (1.0 + eps)
+        p = fit_params(hypersamples, ye, _VBQ_CFG, optimiser="lbfgs")
+        return jnp.sum(p.raw_lengthscale) + jnp.sum(p.raw_outputscale)
 
-    @jax.jit
-    def stage_chains(f0):
-        acc = jnp.zeros(())
-        for _ in range(K):
-            fe = f0 + acc * 1e-20
-            chol, alpha = jax.vmap(
-                _chain_cache, in_axes=(0, None, None, None))(
-                    theta_qd, x, fe, mask)
-            acc = acc + jnp.sum(alpha)
-        return acc
+    def body_distill(w0, eps):
+        w = w0 * (1.0 + eps)
+        w = w / jnp.sum(w)
+        i_nys = deweighted_resampling(k_nys, w, N_NYS)
+        idx, wq = _recombination_impl(hypersamples, hypersamples[i_nys],
+                                      N_QD, kernel_fit.gram,
+                                      init_weights=w)
+        return jnp.sum(wq)
 
-    @jax.jit
-    def stage_full(eta0):
-        acc = jnp.zeros(())
-        for _ in range(K):
-            e = eta0 + acc * 1e-20
-            w, t, c, a = fbgp_refit_traced(
-                x, fobs, mask, e, theta_map, hp.hypermu, hp.hyperstd,
-                k_sample, k_nys, n_hypers=N_HYPERS, n_nys=N_NYS, n_qd=N_QD,
-                cfg=_VBQ_CFG)
-            acc = acc + jnp.sum(a)
-        return acc
+    def body_chains(f0, eps):
+        fe = f0 + eps
+        chol, alpha = jax.vmap(
+            _chain_cache, in_axes=(0, None, None, None))(
+                theta_qd, x, fe, mask)
+        return jnp.sum(alpha)
+
+    def body_full(eta0, eps):
+        e = eta0 + eps
+        w, t, c, a = fbgp_refit_traced(
+            x, fobs, mask, e, theta_map, hp.hypermu, hp.hyperstd,
+            k_sample, k_nys, n_hypers=N_HYPERS, n_nys=N_NYS, n_qd=N_QD,
+            cfg=_VBQ_CFG)
+        return jnp.sum(a)
+
+    stage_sweep = chained(body_sweep)
+    stage_fit = chained(body_fit)
+    stage_distill = chained(body_distill)
+    stage_chains = chained(body_chains)
+    stage_full = chained(body_full)
 
     rows = [
         ("draw+lml_sweep", stage_sweep, eta),
@@ -164,6 +159,9 @@ def main():
         ("chain_caches", stage_chains, fobs),
         ("full_fused", stage_full, eta),
     ]
+    only = [a for a in sys.argv[2:]]
+    if only:
+        rows = [r for r in rows if any(o in r[0] for o in only)]
     print(f"chained K={K} evals per program; per-eval ms below")
     total = 0.0
     for name, fn, arg in rows:
