@@ -86,7 +86,9 @@ class TestShardedPaths:
 
         state = _fitted(n=48, d=3, seed=7)
         rng = np.random.default_rng(8)
-        n_rec, n_nys, batch = 16384, 128, 16   # 200k-shaped, scaled for CPU
+        # 200k-shaped, scaled for CPU; r4 halved 16384 -> 8192 (same parity
+        # signal, the three recombination paths dominated suite wall-clock)
+        n_rec, n_nys, batch = 8192, 128, 16
         x_cand = jnp.asarray(rng.uniform(-1, 1, (n_rec, 3)), jnp.float32)
         x_nys = jnp.asarray(rng.uniform(-1, 1, (n_nys, 3)), jnp.float32)
         w0 = jnp.asarray(rng.uniform(0, 1, n_rec), jnp.float32)

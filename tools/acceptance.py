@@ -15,7 +15,16 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+import jax
 import jax.numpy as jnp
+
+# Persistent compilation cache (same store bench.py uses): the per-task
+# fused programs take minutes each to first-compile through the tunnel.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                 ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 OUT = os.path.join(os.path.dirname(__file__), "..", "docs",
                    "acceptance_runs.jsonl")
@@ -35,14 +44,26 @@ def record(task, seed, cfg, history, wall_s):
           f"wall={wall_s:.1f}s", flush=True)
 
 
+def _full_bucket(overrides, n_iterations=15, n_init=100):
+    """One observation bucket covering the WHOLE run: linear 128-buckets
+    cross a boundary nearly every iteration at batch 200, recompiling the
+    big fused programs each time (minutes each through the tunnel). A
+    fixed max-size pad means ONE compile per task, reused across seeds."""
+    n_max = n_init + overrides.get("batch_size", 100) * n_iterations
+    return ((n_max + 127) // 128) * 128
+
+
 def run_example(task, module, seeds=SEEDS, **overrides):
     mod = __import__(f"examples.{module}", fromlist=["main"])
+    overrides.setdefault(
+        "gp_kwargs", {"bucket": _full_bucket(overrides)})
     for seed in seeds:
         if already_done(task, seed):
             continue
         t0 = time.monotonic()
         _, _, history = mod.main(seed=seed, verbose=False, **overrides)
-        record(task, seed, overrides or "reference", history,
+        record(task, seed, {k: v for k, v in overrides.items()
+                            if k != "gp_kwargs"} or "reference", history,
                time.monotonic() - t0)
 
 
@@ -53,6 +74,7 @@ def run_dataset(task, setup, n_rec, seeds=SEEDS, n_init=100, batch_size=100,
     from sober_tpu.gp import fit_tanimoto_gp
     from sober_tpu.utils.prng import KeyRing
 
+    bucket = _full_bucket({"batch_size": batch_size}, n_iterations, n_init)
     for seed in seeds:
         if already_done(task, seed):
             continue
@@ -60,13 +82,13 @@ def run_dataset(task, setup, n_rec, seeds=SEEDS, n_init=100, batch_size=100,
         keys = KeyRing(seed)
         prior = setup()
         x_all, y_all = prior.sample(keys.next(), n_init)
-        model = fit_tanimoto_gp(x_all, y_all)
+        model = fit_tanimoto_gp(x_all, y_all, bucket=bucket)
         sober = Sober(prior, model, seed=seed,
                       kernel_type="weighted_predictive_covariance")
         history = []
         for _ in range(n_iterations):
             start = time.monotonic()
-            model = fit_tanimoto_gp(x_all, y_all)
+            model = fit_tanimoto_gp(x_all, y_all, bucket=bucket)
             sober.update_model(model)
             idx_batch, x_batch = sober.next_batch(n_rec, n_nys, batch_size)
             interval = time.monotonic() - start
