@@ -17,7 +17,11 @@ from sober_tpu.utils.prng import KeyRing
 
 def run_bo_loop(prior, fn, n_init=100, batch_size=200, n_rec=20000,
                 n_nys=500, n_iterations=15, seed=0, gp_kwargs=None,
-                verbose=True, polish=False):
+                verbose=True, polish=False, telemetry=None):
+    """telemetry: optional list; one dict per iteration is appended with
+    the stagnation-reset flag, the pipeline path taken (fused/staged) and
+    the pool weight-health count (acceptance diagnostics,
+    tools/acceptance.py)."""
     keys = KeyRing(seed)
     gp_kwargs = gp_kwargs or {}
     x_all = prior.sample(keys.next(), n_init)
@@ -40,6 +44,13 @@ def run_bo_loop(prior, fn, n_init=100, batch_size=200, n_rec=20000,
         y_all = jnp.concatenate([y_all, y_batch])
         best = float(y_all.max())
         history.append((interval, best))
+        if telemetry is not None:
+            telemetry.append({
+                "reset": bool(sober.last_reset),
+                "path": sober.last_path,
+                "n_pos": (int(sober.last_npos)
+                          if sober.last_npos is not None else None),
+            })
         if verbose:
             print(f"{len(x_all)}) Best value: {best:.5e}")
             print(f"Acquisition time [s]: {interval:.5e}, per sample [ms]: "

@@ -37,18 +37,24 @@ class InverseModel(SoberWrapper):
                  disable_numpy_mode: bool = False,
                  parallelization: bool = True,
                  visualizations: bool = False,
-                 task_covariance: str = "icm", **kwargs):
+                 task_covariance: str = "icm", icm_ard: bool = False,
+                 icm_kernel: str = "rbf", **kwargs):
         """(SOBER/_inverse_modelling.py:16-118)
 
         task_covariance: "icm" (default) fits the full intrinsic-
         coregionalization surrogate with a LEARNED T x T task covariance —
         the reference's KroneckerMultiTaskGP
         (SOBER/_inverse_modelling.py:159-186); "independent" falls back to
-        the vmapped per-task GPs (no cross-output coupling)."""
+        the vmapped per-task GPs (no cross-output coupling).
+        icm_ard / icm_kernel: data-kernel options forwarded to fit_icm_gp;
+        icm_ard=True, icm_kernel="matern52" matches botorch
+        KroneckerMultiTaskGP's ARD-Matern default."""
         if task_covariance not in ("icm", "independent"):
             raise ValueError(
                 'task_covariance must be "icm" or "independent"')
         self.task_covariance = task_covariance
+        self.icm_ard = icm_ard
+        self.icm_kernel = icm_kernel
         super().__init__(
             model=model, data=None,
             model_initial_samples=model_initial_samples,
@@ -98,7 +104,8 @@ class InverseModel(SoberWrapper):
         reference's KroneckerMultiTaskGP), or independent per-task GPs."""
         if self.task_covariance == "icm":
             self.inverse_model = fit_icm_gp(self.observations_all,
-                                            self.X_all)
+                                            self.X_all, ard=self.icm_ard,
+                                            kernel=self.icm_kernel)
         else:
             self.inverse_model = fit_multitask_gp(self.observations_all,
                                                   self.X_all)

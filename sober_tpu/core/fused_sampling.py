@@ -488,7 +488,7 @@ def fused_iteration_cont_tgauss(pi_tree, mu, chol, lb, ub, constant, prec,
         gibbs, n_rounds, n_sweeps, mesh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
                                     batch, obj_apply, obj_tree, mesh)
-    return x_batch, w_rchq, params, did
+    return x_batch, w_rchq, params, did, _npos(w)
 
 
 @partial(jax.jit, static_argnames=("cfg", "optimiser", "batch",
@@ -510,12 +510,25 @@ def fused_bo_step_cont_tgauss(x_pad, y_pad, mask, mu, chol, lb, ub,
         n_kde, gibbs, n_rounds, n_sweeps, mesh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch,
                                     mesh=mesh)
-    return state, x_batch, w_rchq, params, did
+    return state, x_batch, w_rchq, params, did, _npos(w)
 
 
 # ----------------------------------------------------------------------------
 # candidates + kernel recombination as ONE program (Sober.next_batch)
 # ----------------------------------------------------------------------------
+
+def _npos(w):
+    """Pool weight-health diagnostic: count of strictly positive candidate
+    weights after cleansing. Every fused_iteration_* / fused_bo_step_* /
+    fused_fbgp_step_* program appends this int32 scalar as its LAST output
+    so Sober can surface per-iteration pool health (Sober.last_npos) with
+    zero extra dispatches — acceptance telemetry for diagnosing proposal
+    collapse (docs/acceptance_runs.jsonl). Note the total-degeneracy
+    fallback sets uniform weights, which reads as n_pos == n_rec here; the
+    staged path's `flag` equivalent is visible through Sober.last_path
+    instead."""
+    return jnp.sum(w > 0).astype(jnp.int32)
+
 
 def _recombine(x, x_nys, w, kernel_tree, kernel_apply, batch: int,
                obj_apply=None, obj_tree=None, mesh=None):
@@ -553,7 +566,7 @@ def fused_iteration_binary(pi_tree, probs, k_draw, k_update,
         n_rec, n_nys, thresh, mesh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
                                     batch, obj_apply, obj_tree, mesh)
-    return x_batch, w_rchq, probs_out
+    return x_batch, w_rchq, probs_out, _npos(w)
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde",
@@ -574,7 +587,7 @@ def fused_iteration_cont_uniform(pi_tree, bounds, sobol_state,
         k_update, k_refill, k_nys, n_rec, n_nys, thresh, n_kde, qmc, mesh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
                                     batch, obj_apply, obj_tree, mesh)
-    return x_batch, w_rchq, params, did
+    return x_batch, w_rchq, params, did, _npos(w)
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde",
@@ -594,7 +607,7 @@ def fused_iteration_cont_wkde(pi_tree, params_old, bounds,
         k_refill, k_nys, n_rec, n_nys, thresh, n_kde, mesh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
                                     batch, obj_apply, obj_tree, mesh)
-    return x_batch, w_rchq, params_out
+    return x_batch, w_rchq, params_out, _npos(w)
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "n_kde",
@@ -614,7 +627,7 @@ def fused_iteration_cont_gauss(pi_tree, mu, chol, k_draw, k_update,
         n_rec, n_nys, thresh, n_kde, mesh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
                                     batch, obj_apply, obj_tree, mesh)
-    return x_batch, w_rchq, params, did
+    return x_batch, w_rchq, params, did, _npos(w)
 
 
 @partial(jax.jit, static_argnames=("n_rec", "n_nys", "thresh", "batch",
@@ -637,7 +650,7 @@ def fused_iteration_dataset(pi_tree, x_all, avail_mask, k_nys,
     x_batch, w_rchq, idx_local = _recombine(x_cand, x_nys, w, kernel_tree,
                                             kernel_apply, batch,
                                             obj_apply, obj_tree, mesh)
-    return idx_sampled[idx_local], x_batch, w_rchq
+    return idx_sampled[idx_local], x_batch, w_rchq, _npos(w)
 
 
 def _dataset_pipeline(pi, x_all, avail_mask, k_nys, n_rec: int,
@@ -888,7 +901,7 @@ def fused_iteration_discrete(pi_tree, cont_tree, disc_tree,
         thresh, n_kde, qmc, entry, mesh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, kernel_tree, kernel_apply,
                                     batch, obj_apply, obj_tree, mesh)
-    return x_batch, w_rchq, params, did
+    return x_batch, w_rchq, params, did, _npos(w)
 
 
 @partial(jax.jit, static_argnames=("cfg", "optimiser", "spec", "n_rec",
@@ -912,7 +925,7 @@ def fused_bo_step_discrete(x_pad, y_pad, mask, cont_tree, disc_tree,
         thresh, n_kde, qmc, entry, mesh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch,
                                     mesh=mesh)
-    return state, x_batch, w_rchq, params, did
+    return state, x_batch, w_rchq, params, did, _npos(w)
 
 
 # ----------------------------------------------------------------------------
@@ -950,7 +963,7 @@ def fused_bo_step_binary(x_pad, y_pad, mask, probs, k_draw, k_update,
         k_nys, n_rec, n_nys, thresh, mesh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch,
                                     mesh=mesh)
-    return state, x_batch, w_rchq, probs_out
+    return state, x_batch, w_rchq, probs_out, _npos(w)
 
 
 @partial(jax.jit, static_argnames=("cfg", "optimiser", "n_rec", "n_nys",
@@ -972,7 +985,7 @@ def fused_bo_step_cont_uniform(x_pad, y_pad, mask, bounds, sobol_state,
         qmc, mesh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch,
                                     mesh=mesh)
-    return state, x_batch, w_rchq, params, did
+    return state, x_batch, w_rchq, params, did, _npos(w)
 
 
 @partial(jax.jit, static_argnames=("cfg", "optimiser", "n_rec", "n_nys",
@@ -992,7 +1005,7 @@ def fused_bo_step_cont_gauss(x_pad, y_pad, mask, mu, chol, k_draw,
         k_nys, n_rec, n_nys, thresh, n_kde, mesh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch,
                                     mesh=mesh)
-    return state, x_batch, w_rchq, params, did
+    return state, x_batch, w_rchq, params, did, _npos(w)
 
 
 @partial(jax.jit, static_argnames=("cfg", "optimiser", "n_rec", "n_nys",
@@ -1012,7 +1025,7 @@ def fused_bo_step_cont_wkde(x_pad, y_pad, mask, params_old, bounds, k_draw,
         k_refill, k_nys, n_rec, n_nys, thresh, n_kde, mesh)
     x_batch, w_rchq, _ = _recombine(x, x_nys, w, state, kernel_apply, batch,
                                     mesh=mesh)
-    return state, x_batch, w_rchq, params_out
+    return state, x_batch, w_rchq, params_out, _npos(w)
 
 
 # ----------------------------------------------------------------------------
@@ -1099,7 +1112,8 @@ def fused_fbgp_step_cont_uniform(x_pad, y_pad, mask, hypermu, hyperstd,
     x_batch, w_rchq, _ = _recombine(
         x, x_nys, w, tree, _fbgp_cov_apply, batch, acq_apply,
         tree if acq_apply is not None else None, mesh)
-    return _fbgp_step_out(tree, alpha, fobs, x_batch, w_rchq, params, did)
+    return _fbgp_step_out(tree, alpha, fobs, x_batch, w_rchq, params, did,
+                          _npos(w))
 
 
 @partial(jax.jit, static_argnames=_FBGP_STEP_STATICS)
@@ -1125,7 +1139,8 @@ def fused_fbgp_step_cont_wkde(x_pad, y_pad, mask, hypermu, hyperstd,
     x_batch, w_rchq, _ = _recombine(
         x, x_nys, w, tree, _fbgp_cov_apply, batch, acq_apply,
         tree if acq_apply is not None else None, mesh)
-    return _fbgp_step_out(tree, alpha, fobs, x_batch, w_rchq, params_out)
+    return _fbgp_step_out(tree, alpha, fobs, x_batch, w_rchq, params_out,
+                          _npos(w))
 
 
 @partial(jax.jit, static_argnames=_FBGP_STEP_STATICS)
@@ -1151,7 +1166,8 @@ def fused_fbgp_step_cont_gauss(x_pad, y_pad, mask, hypermu, hyperstd,
     x_batch, w_rchq, _ = _recombine(
         x, x_nys, w, tree, _fbgp_cov_apply, batch, acq_apply,
         tree if acq_apply is not None else None, mesh)
-    return _fbgp_step_out(tree, alpha, fobs, x_batch, w_rchq, params, did)
+    return _fbgp_step_out(tree, alpha, fobs, x_batch, w_rchq, params, did,
+                          _npos(w))
 
 
 @partial(jax.jit, static_argnames=("cfg", "optimiser", "n_rec", "n_nys",
@@ -1170,4 +1186,4 @@ def fused_bo_step_dataset(x_pad, y_pad, mask, x_all, avail_mask, k_nys, *,
         thresh, prune, mesh)
     x_batch, w_rchq, idx_local = _recombine(x_cand, x_nys, w, state,
                                             kernel_apply, batch, mesh=mesh)
-    return state, idx_sampled[idx_local], x_batch, w_rchq
+    return state, idx_sampled[idx_local], x_batch, w_rchq, _npos(w)

@@ -79,6 +79,21 @@ class RecombinationSampler:
         self.keys = KeyRing(seed)
         self.mesh = mesh
         self.schedule = schedule
+        # per-iteration acceptance telemetry (set by the fused dispatch /
+        # Sober.next_batch): count of positive candidate weights (device
+        # scalar — fetch lazily), and which path produced the batch
+        self.last_npos = None
+        self.last_path = None
+
+    def _pop_npos(self, res, has_diag: bool):
+        """Strip the trailing _npos diagnostic from a fused-program result
+        (fused_sampling._npos) and stash it; candidates-only programs
+        (has_diag False) carry none."""
+        if not has_diag:
+            return res
+        *rest, n_pos = res
+        self.last_npos = n_pos
+        return tuple(rest)
 
     def _place_cand(self, x):
         """Row-shard a candidate-axis array over the mesh (no-op without
@@ -328,14 +343,14 @@ class EmpiricalSampler(RecombinationSampler):
         if self.mesh is not None:
             common.update(mesh=self.mesh)
         if fit is not None:
-            return fs.fused_bo_step_dataset(
+            return self._pop_npos(fs.fused_bo_step_dataset(
                 *fit[:3], *pool, cfg=fit[3], optimiser=fit[4],
-                params0=fit[5], **common)
+                params0=fit[5], **common), True)
         if obj is not None:
             common.update(obj_apply=obj[0], obj_tree=obj[1])
-        return fs.fused_iteration_dataset(
+        return self._pop_npos(fs.fused_iteration_dataset(
             pi_pair[1], *pool, self.kernel.rc_tree, pi_apply=pi_pair[0],
-            **common)
+            **common), True)
 
     def _pi_pair(self, step: bool = False):
         """The pi stable-callable (pi_apply, pi_tree) for the fused
@@ -415,9 +430,10 @@ class EmpiricalSampler(RecombinationSampler):
                   else fs.fused_iteration_binary if batch is not None
                   else fs.fused_candidates_binary)
             k = [self.keys.next() for _ in range(4)]
-            *out, probs = fn(
+            *out, probs = self._pop_npos(fn(
                 *head, self.prior.probs, *k, *tail,
-                n_rec=n_rec, n_nys=n_nys, thresh=self.thresh_initial, **rc)
+                n_rec=n_rec, n_nys=n_nys, thresh=self.thresh_initial, **rc),
+                "batch" in rc)
             self.prior = BinaryPrior(self.prior.n_dims, probs=probs)
             return tuple(out)
 
@@ -439,10 +455,11 @@ class EmpiricalSampler(RecombinationSampler):
                       else fs.fused_iteration_cont_wkde if batch is not None
                       else fs.fused_candidates_cont_wkde)
                 k = [self.keys.next() for _ in range(4)]
-                *out, params = fn(
+                *out, params = self._pop_npos(fn(
                     *head, prior._params, prior.bounds, *k, *tail,
                     n_rec=n_rec, n_nys=n_nys,
-                    thresh=self.thresh_initial, n_kde=n_kde, **rc)
+                    thresh=self.thresh_initial, n_kde=n_kde, **rc),
+                    "batch" in rc)
                 self.prior = wkde_holder(params, prior.bounds)
                 return tuple(out)
 
@@ -453,11 +470,11 @@ class EmpiricalSampler(RecombinationSampler):
                       if batch is not None
                       else fs.fused_candidates_cont_uniform)
                 k = [self.keys.next() for _ in range(4)]
-                *out, params, did = fn(
+                *out, params, did = self._pop_npos(fn(
                     *head, prior.bounds, prior._sobol,
                     prior._offset, *k, *tail, n_rec=n_rec, n_nys=n_nys,
                     thresh=self.thresh_initial, n_kde=n_kde, qmc=prior.qmc,
-                    **rc)
+                    **rc), "batch" in rc)
                 if prior.qmc:
                     # the common path's one Sobol draw
                     prior._offset += n_rec
@@ -476,10 +493,10 @@ class EmpiricalSampler(RecombinationSampler):
                       if batch is not None
                       else fs.fused_candidates_cont_gauss)
                 k = [self.keys.next() for _ in range(4)]
-                *out, params, did = fn(
+                *out, params, did = self._pop_npos(fn(
                     *head, prior.mu, prior.chol, *k, *tail, n_rec=n_rec,
                     n_nys=n_nys, thresh=self.thresh_initial, n_kde=n_kde,
-                    **rc)
+                    **rc), "batch" in rc)
                 if bool(did):
                     self.prior = wkde_holder(params, None)
                 return tuple(out)
@@ -494,13 +511,14 @@ class EmpiricalSampler(RecombinationSampler):
                       if batch is not None
                       else fs.fused_candidates_cont_tgauss)
                 k = [self.keys.next() for _ in range(4)]
-                *out, params, did = fn(
+                *out, params, did = self._pop_npos(fn(
                     *head, prior.mu, prior.chol, prior.bounds[0],
                     prior.bounds[1], prior.constant, prior.tmvn.prec,
                     prior.tmvn.cond_sd, *k, *tail, n_rec=n_rec,
                     n_nys=n_nys, thresh=self.thresh_initial, n_kde=n_kde,
                     gibbs=prior._use_gibbs, n_rounds=prior.n_rounds,
-                    n_sweeps=prior.tmvn.burn_in + prior.tmvn.thin, **rc)
+                    n_sweeps=prior.tmvn.burn_in + prior.tmvn.thin, **rc),
+                    "batch" in rc)
                 if bool(did):
                     self.prior = wkde_holder(params, prior.bounds)
                 return tuple(out)
@@ -567,11 +585,11 @@ class EmpiricalSampler(RecombinationSampler):
               else fs.fused_iteration_discrete if "batch" in rc
               else fs.fused_candidates_discrete)
         k = [self.keys.next() for _ in range(4)]
-        *out, params, did = fn(
+        *out, params, did = self._pop_npos(fn(
             *head, cont_tree, disc_tree, sobol_state, sobol_offset, *k,
             *tail, spec=spec, n_rec=n_rec, n_nys=n_nys,
             thresh=self.thresh_initial, n_kde=n_kde, qmc=qmc, entry=entry,
-            **rc)
+            **rc), "batch" in rc)
         cont_out, disc_out = params
 
         def rebuild_disc(dt):

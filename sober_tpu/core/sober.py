@@ -55,6 +55,11 @@ class Sober(EmpiricalSampler):
         pi, kernel = self.initialisation(model)
         self.n_batches_until_reset = 3
         self.last_timings: dict[str, float] = {}
+        # acceptance telemetry (VERDICT r4 #9): did the last iteration fire
+        # the stagnation reset, and how many resets fired so far. last_npos
+        # / last_path live on RecombinationSampler.
+        self.last_reset = False
+        self.reset_count = 0
         super().__init__(prior, pi, kernel, thresh=thresh, label=prior.type,
                          seed=seed, mesh=mesh, schedule=schedule)
 
@@ -150,6 +155,12 @@ class Sober(EmpiricalSampler):
             return True
         return False
 
+    def _mark_reset(self):
+        """initialise_prior + telemetry bookkeeping."""
+        self.last_reset = True
+        self.reset_count += 1
+        self.initialise_prior()
+
     # -- main entry ----------------------------------------------------------
 
     def next_batch(self, n_rec: int, n_nys: int, batch_size: int,
@@ -174,6 +185,7 @@ class Sober(EmpiricalSampler):
         """
         t0 = time.monotonic()
         idx_sampled = None
+        self.last_reset = False
         # calc_obj with the rc_apply/rc_tree stable-callable protocol (e.g.
         # SOBERUCB, FBGPAcquisitionFunction) keeps the fused fast path —
         # the augmented objective row joins the one-program recombination;
@@ -186,7 +198,7 @@ class Sober(EmpiricalSampler):
             if self.should_reset_prior(batch_size, recycle_prior):
                 if verbose:
                     print("The prior was initialised.")
-                self.initialise_prior()
+                self._mark_reset()
             if not verbose and fusable:
                 # candidates + recombination as ONE XLA program (verbose
                 # wants per-stage prints, so it keeps the staged path)
@@ -221,6 +233,8 @@ class Sober(EmpiricalSampler):
             print(f" # of nonzero weights: {int((weights > 0).sum()):.3e}")
             print("--- Start kernel recombination...")
 
+        self.last_npos = jnp.sum(weights > 0)
+        self.last_path = "staged"
         idx_rchq, w_rchq = self.sampling_recombination(
             x_cand, x_nys, weights, batch_size, calc_obj=calc_obj)
         x_batch = x_cand[idx_rchq]
@@ -292,11 +306,12 @@ class Sober(EmpiricalSampler):
                 "model explicitly (e.g. gp.fbgp.fbgp_refit) and call "
                 "update_model + next_batch instead.")
         t0 = time.monotonic()
+        self.last_reset = False
         if cfg is None:
             cfg = GPConfig()
         if self.label != "dataset" and self.should_reset_prior(
                 batch_size, recycle_prior, targets=np.asarray(y_obs)):
-            self.initialise_prior()
+            self._mark_reset()
 
         params0 = self._warm_start_params(cfg, jnp.asarray(x_obs).shape[1]) \
             if warm_start else None
@@ -332,6 +347,7 @@ class Sober(EmpiricalSampler):
         total = time.monotonic() - t0
         # candidates + recombination ran as one program — no split exists
         self.last_timings = {"fused_iteration": total, "total": total}
+        self.last_path = "fused"
         if return_weights:
             return w_rchq, x_batch
         if idx_global is not None:
@@ -396,9 +412,10 @@ class Sober(EmpiricalSampler):
                 f"needs n_ls={n_ls_needed}); construct "
                 f"RBFHyperPrior(n_ls={n_ls_needed})")
         t0 = time.monotonic()
+        self.last_reset = False
         if self.label != "dataset" and self.should_reset_prior(
                 batch_size, recycle_prior, targets=np.asarray(y_obs)):
-            self.initialise_prior()
+            self._mark_reset()
         x_pad, y_pad, mask = pad_observations(
             x_obs, jnp.asarray(y_obs), bucket)
         data = (x_pad, y_pad, mask, hyperprior.hypermu, hyperprior.hyperstd,
@@ -431,6 +448,7 @@ class Sober(EmpiricalSampler):
         self.update_model(fbgp)
         total = time.monotonic() - t0
         self.last_timings = {"fused_iteration": total, "total": total}
+        self.last_path = "fused"
         if return_weights:
             return w_rchq, x_batch
         return x_batch

@@ -191,6 +191,45 @@ def _masked_gram(kernel, noise, x, mask):
     return k + noise * jnp.eye(n, dtype=x.dtype)
 
 
+@jax.custom_vjp
+def _rescued_cholesky(a: jax.Array, extra: jax.Array) -> jax.Array:
+    """cholesky(a), retried ONCE at a + extra*I when the fp32 factorization
+    fails (NaN pivots). custom_vjp so the backward pass is built from the
+    FINAL (finite) factor only: under plain autodiff the failed probe's
+    cholesky VJP still executes with zero cotangents, and its 0 * NaN
+    products poison every gradient in the program — exactly the silent
+    fit-freeze of VERDICT r4 #2. Reverse rule is the standard Cholesky
+    pullback A_bar = L^-T phi(L^T L_bar) L^-1 (Murray 2016, the transpose
+    of the JVP jax itself uses), evaluated at whichever factor was
+    returned."""
+    return _rescued_cholesky_fwd(a, extra)[0]
+
+
+def _rescued_cholesky_fwd(a, extra):
+    eye = jnp.eye(a.shape[-1], dtype=a.dtype)
+    chol1 = jnp.linalg.cholesky(a)
+    bad = jnp.any(jnp.isnan(jnp.diagonal(chol1)))
+    chol = jax.lax.cond(
+        bad, lambda: jnp.linalg.cholesky(a + extra * eye), lambda: chol1)
+    return chol, (chol, bad)
+
+
+def _rescued_cholesky_bwd(res, l_bar):
+    from jax.scipy.linalg import solve_triangular
+
+    chol, bad = res
+    n = chol.shape[-1]
+    p = jnp.tril(chol.T @ l_bar) / (1.0 + jnp.eye(n, dtype=chol.dtype))
+    y = solve_triangular(chol, p, lower=True, trans=1)          # L^-T p
+    a_bar = solve_triangular(chol, y.T, lower=True, trans=1).T  # y L^-1
+    extra_bar = jnp.where(bad, jnp.trace(a_bar),
+                          jnp.zeros((), a_bar.dtype))
+    return a_bar, extra_bar
+
+
+_rescued_cholesky.defvjp(_rescued_cholesky_fwd, _rescued_cholesky_bwd)
+
+
 def neg_mll(params: GPParams, x: jax.Array, y: jax.Array,
             cfg: GPConfig, mask: Optional[jax.Array] = None) -> jax.Array:
     """Negative (MAP) marginal log likelihood, normalized per datum as
@@ -204,14 +243,22 @@ def neg_mll(params: GPParams, x: jax.Array, y: jax.Array,
     else:
         n = x.shape[0]
     k = _masked_gram(kernel, noise, x, mask)
-    # fit-path factorization uses ONE fixed-jitter Cholesky (gpytorch's
-    # cholesky_jitter policy): the escalation while_loop inside every MLL
-    # evaluation is latency-disastrous when near-duplicate batch points make
-    # K singular (hundreds of retry factorizations per fit). Non-finite
-    # losses are mapped to a large value so the linesearch backs off.
+    # fit-path factorization: ONE fixed-jitter Cholesky on the healthy path
+    # (gpytorch's cholesky_jitter policy) plus a SINGLE rescue retry at
+    # 1e-2 when it fails (_rescued_cholesky) — an escalation while_loop
+    # inside every MLL evaluation is latency-disastrous (hundreds of retry
+    # factorizations per fit), but with NO rescue a Gram whose fp32
+    # rounding makes it indefinite beyond the 1e-5 floor (observed:
+    # exploit-clustered mixed-domain data at n_pad=1664, eig -2.7e-5 at
+    # the INIT point — rosenbrock seed-1 stagnation, VERDICT r4 #2) yields
+    # a constant mapped loss with NaN->0 gradients and the optimizer
+    # silently returns its initialization, collapsing the surrogate to the
+    # prior. Non-finite losses after the rescue are still mapped to a
+    # large value so the linesearch backs off.
     scale = jnp.mean(jnp.diagonal(k))
-    chol = jnp.linalg.cholesky(
-        k + (1e-5 * scale) * jnp.eye(k.shape[0], dtype=k.dtype))
+    eye = jnp.eye(k.shape[0], dtype=k.dtype)
+    chol = _rescued_cholesky(k + (1e-5 * scale) * eye,
+                             (1e-2 - 1e-5) * scale)
     alpha = jax.scipy.linalg.cho_solve((chol, True), resid)
     logdiag = jnp.log(jnp.diagonal(chol))
     if mask is not None:

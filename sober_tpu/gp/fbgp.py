@@ -405,7 +405,12 @@ class ScaleVanillaGP:
         y_exp = jnp.exp(y - self.beta)
         x_obs = jnp.asarray(x_obs)
         if fit_n is not None and x_obs.shape[0] > fit_n:
-            params = fit_params(x_obs[:fit_n], y_exp[:fit_n], self.cfg,
+            # subset-local renormalization, same rationale as
+            # fbgp_refit_traced: keep the fit targets non-degenerate when
+            # the global argmax lies outside the prefix (ADVICE r4)
+            y_fit = y[:fit_n]
+            y_exp_fit = jnp.exp(y_fit - jnp.max(y_fit))
+            params = fit_params(x_obs[:fit_n], y_exp_fit, self.cfg,
                                 optimiser=self.optimiser)
             self.model: GPState = build_state(params, x_obs, y_exp, self.cfg)
         else:
@@ -436,8 +441,12 @@ def _nystrom_with_top(key, hypersamples, weights, n_nys: int):
     the dominant thetas an explicit constraint, so the distilled measure must
     preserve their weight."""
     n_top = min(8, n_nys // 2)
-    top = jnp.argsort(weights)[-n_top:]
     idx_nys = deweighted_resampling(key, weights, n_nys - n_top)
+    if n_top == 0:
+        # n_nys == 1: [-0:] would slice ALL rows, silently inflating the
+        # Nystrom set to N+1 (ADVICE r4)
+        return hypersamples[idx_nys]
+    top = jnp.argsort(weights)[-n_top:]
     return jnp.concatenate([hypersamples[top], hypersamples[idx_nys]])
 
 
@@ -535,9 +544,16 @@ def fbgp_refit_traced(x, fobs, mask, eta, theta_map, hypermu, hyperstd,
     hyper_nys = _nystrom_with_top(k_nys, hypersamples, weights, n_nys)
 
     y_clamped = remove_anomalies(lmls)
-    y_exp = jnp.exp(y_clamped - jnp.max(y_clamped))
     n_fit = min(_SURROGATE_FIT_N, n_hypers + 1)
-    params = fit_params(hypersamples[:n_fit], y_exp[:n_fit], cfg,
+    # normalize within the FIT SUBSET: a global-max normalization degrades
+    # to all-near-zero targets whenever the LML argmax lane falls outside
+    # the prefix, degenerating the surrogate kernel fit (ADVICE r4). The
+    # subset-local rescale only shifts the fitted outputscale by a
+    # constant, to which RCHQ's globally-normalized moment matching is
+    # invariant.
+    y_fit = y_clamped[:n_fit]
+    y_exp_fit = jnp.exp(y_fit - jnp.max(y_fit))
+    params = fit_params(hypersamples[:n_fit], y_exp_fit, cfg,
                         optimiser="lbfgs")
     kernel, _ = materialize(params, cfg)
 

@@ -111,7 +111,7 @@ class ICMState(NamedTuple):
     yt: jax.Array         # (n, T) eigenbasis-projected standardized targets
     y_mean: jax.Array     # (T,)
     y_std: jax.Array      # (T,)
-    lengthscale: jax.Array
+    lengthscale: jax.Array  # () isotropic or (d,) ARD
     noise: jax.Array
     task_cov: jax.Array   # (T, T) learned B
     qx: jax.Array         # (n, n) eigenvectors of k_x(X, X)
@@ -119,6 +119,8 @@ class ICMState(NamedTuple):
     qb: jax.Array         # (T, T) eigenvectors of B
     lb: jax.Array         # (T,) its eigenvalues (clamped >= 0)
     alpha: jax.Array      # (n, T) = unvec((k_x (x) B + s^2 I)^-1 vec(Y))
+    kernel_id: jax.Array  # () int32: 0 = RBF, 1 = Matern-5/2 (kept as an
+                          # array so the state stays a pure-array pytree)
 
     @property
     def n_tasks(self) -> int:
@@ -131,20 +133,32 @@ class ICMState(NamedTuple):
         return self.task_cov / (s[:, None] * s[None, :])
 
 
-def _icm_kx(x1, x2, lengthscale):
+def _icm_kx(x1, x2, lengthscale, kernel_id):
+    """Data kernel: unit-scale RBF (kernel_id 0) or Matern-5/2 (1), with
+    the lengthscale broadcast over input dimensions — a (d,) lengthscale
+    gives ARD (botorch KroneckerMultiTaskGP's default data kernel is an
+    ARD Matern, /root/reference/SOBER/_inverse_modelling.py:159-186).
+    Both branches are evaluated and `where`-selected so kernel_id can stay
+    a traced scalar; the shared O(n m d) distance tensor dominates, and
+    the +1e-24 floor keeps the sqrt's gradient finite at r=0 (a NaN there
+    would leak through the unselected branch's zero cotangent)."""
     d2 = jnp.sum((x1[:, None, :] - x2[None, :, :]) ** 2 /
                  jnp.maximum(lengthscale, 1e-12) ** 2, axis=-1)
-    return jnp.exp(-0.5 * d2)
+    rbf = jnp.exp(-0.5 * d2)
+    sq5r = jnp.sqrt(5.0 * d2 + 1e-24)
+    matern = (1.0 + sq5r + (5.0 / 3.0) * d2) * jnp.exp(-sq5r)
+    return jnp.where(kernel_id == 0, rbf, matern)
 
 
-def _icm_build(raw, x):
+def _icm_build(raw, x, kernel_id):
     """Materialize (lengthscale, noise, B, eigendecompositions, D) from the
     raw parameter pytree."""
     ls = _softplus(raw["raw_ls"])
     noise = _softplus(raw["raw_noise"]) + 1e-6
     l_f = raw["l_f"]
     b = l_f @ l_f.T + jnp.diag(_softplus(raw["raw_v"]) + 1e-6)
-    kx = _icm_kx(x, x, ls) + _ICM_JITTER * jnp.eye(x.shape[0], dtype=x.dtype)
+    kx = _icm_kx(x, x, ls, kernel_id) \
+        + _ICM_JITTER * jnp.eye(x.shape[0], dtype=x.dtype)
     lx, qx = jnp.linalg.eigh(kx)
     lb, qb = jnp.linalg.eigh(b)
     lx = jnp.clip(lx, 0.0)
@@ -153,10 +167,10 @@ def _icm_build(raw, x):
     return ls, noise, b, qx, lx, qb, lb, d
 
 
-def _icm_neg_mll(raw, x, ys):
+def _icm_neg_mll(raw, x, ys, kernel_id):
     """-log p(vec(Y)) through the Kronecker eigen-identity (one n x n and
     one T x T eigh per evaluation)."""
-    *_, qx, lx, qb, lb, d = _icm_build(raw, x)
+    *_, qx, lx, qb, lb, d = _icm_build(raw, x, kernel_id)
     yt = qx.T @ ys @ qb
     quad = jnp.sum(yt * yt / d)
     logdet = jnp.sum(jnp.log(d))
@@ -164,16 +178,18 @@ def _icm_neg_mll(raw, x, ys):
     return 0.5 * (quad + logdet + n_total * jnp.log(2.0 * jnp.pi))
 
 
-@partial(jax.jit, static_argnames=("rank", "fit_iters"))
-def _fit_icm(x, y, rank: int, fit_iters: int, lr: float = 0.05):
+@partial(jax.jit, static_argnames=("rank", "fit_iters", "ard"))
+def _fit_icm(x, y, kernel_id, rank: int, fit_iters: int, ard: bool,
+             lr: float = 0.05):
     n, t = y.shape
     y_mean = jnp.mean(y, axis=0)
     y_std = jnp.maximum(jnp.std(y, axis=0, ddof=1), 1e-12)
     ys = (y - y_mean) / y_std
 
     eye_lr = jnp.eye(t, rank, dtype=x.dtype)
+    ls_shape = (x.shape[1],) if ard else ()
     raw0 = {
-        "raw_ls": _inv_softplus(jnp.ones((), x.dtype)),
+        "raw_ls": _inv_softplus(jnp.ones(ls_shape, x.dtype)),
         "raw_noise": _inv_softplus(jnp.asarray(0.05, x.dtype)),
         # B init ~= I: small coupled factor + near-unit diag, so the fit
         # starts close to the independent model and LEARNS the coupling.
@@ -187,7 +203,8 @@ def _fit_icm(x, y, rank: int, fit_iters: int, lr: float = 0.05):
 
     def step(carry, _):
         raw, ostate, best_raw, best_loss = carry
-        loss, grads = jax.value_and_grad(_icm_neg_mll)(raw, x, ys)
+        loss, grads = jax.value_and_grad(_icm_neg_mll)(raw, x, ys,
+                                                       kernel_id)
         updates, ostate = opt.update(grads, ostate, raw)
         raw_new = optax.apply_updates(raw, updates)
         better = jnp.isfinite(loss) & (loss < best_loss)
@@ -199,31 +216,43 @@ def _fit_icm(x, y, rank: int, fit_iters: int, lr: float = 0.05):
     init = (raw0, opt.init(raw0), raw0, jnp.asarray(jnp.inf, x.dtype))
     (raw, _, best_raw, _), _ = jax.lax.scan(step, init, None,
                                             length=fit_iters)
-    ls, noise, b, qx, lx, qb, lb, d = _icm_build(best_raw, x)
+    ls, noise, b, qx, lx, qb, lb, d = _icm_build(best_raw, x, kernel_id)
     yt = qx.T @ ys @ qb
     alpha = qx @ (yt / d) @ qb.T
     return ICMState(x, yt, y_mean, y_std, ls, noise, b, qx, lx, qb, lb,
-                    alpha)
+                    alpha, kernel_id)
+
+
+_ICM_KERNELS = {"rbf": 0, "matern52": 1}
 
 
 def fit_icm_gp(x: jax.Array, y: jax.Array, rank: int | None = None,
-               fit_iters: int = 200) -> ICMState:
+               fit_iters: int = 200, ard: bool = False,
+               kernel: str = "rbf") -> ICMState:
     """Fit the ICM multitask GP by exact MLL (Adam, best-iterate tracking).
 
     x: (n, d) inputs; y: (n, T) multi-output targets; rank: low-rank factor
     width of B = L L^T + diag(v) (default T, full rank — botorch's
-    KroneckerMultiTaskGP default)."""
+    KroneckerMultiTaskGP default); ard: per-dimension lengthscales;
+    kernel: "rbf" or "matern52" (ard=True, kernel="matern52" matches
+    botorch KroneckerMultiTaskGP's ARD Matern data-kernel default,
+    /root/reference/SOBER/_inverse_modelling.py:159-186)."""
+    if kernel not in _ICM_KERNELS:
+        raise ValueError(f'kernel must be one of {sorted(_ICM_KERNELS)}; '
+                         f'got {kernel!r}')
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     t = y.shape[1]
-    return _fit_icm(x, y, int(t if rank is None else min(rank, t)),
-                    fit_iters)
+    kernel_id = jnp.asarray(_ICM_KERNELS[kernel], jnp.int32)
+    return _fit_icm(x, y, kernel_id,
+                    int(t if rank is None else min(rank, t)),
+                    fit_iters, ard)
 
 
 def _icm_query(st: ICMState, xq: jax.Array):
     """Shared pieces of ICM prediction: A = Qx^T k_x(X, X*) (n, m) and the
     inverse joint eigenvalues (n, T)."""
-    kxq = _icm_kx(st.x, xq, st.lengthscale)          # (n, m)
+    kxq = _icm_kx(st.x, xq, st.lengthscale, st.kernel_id)   # (n, m)
     a = st.qx.T @ kxq
     inv_d = 1.0 / (st.lx[:, None] * st.lb[None, :] + st.noise)
     return kxq, a, inv_d

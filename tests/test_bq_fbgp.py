@@ -306,3 +306,60 @@ class TestFBGP:
         # fully-Bayesian marginalization — it must refuse FBGP models
         with pytest.raises(TypeError, match="exact GP"):
             sober.step(self.gp.model.x, self.gp.Y_unwarp, 512, 64, 8)
+
+
+class TestFixedJitterAnchor:
+    """ADVICE r4: _fixed_jitter_cholesky drops the escalation rescue for
+    every LML-sweep lane, the row-0 MAP anchor included. Pin the intended
+    fallback: a lane whose factorization blows up scores EPS_LML (not NaN)
+    and simply drops out of the hyperposterior."""
+
+    def test_failing_anchor_lane_maps_to_eps_lml(self):
+        from sober_tpu.gp.fbgp import EPS_LML, _fitbo_mll_sweep
+
+        n, d = 24, 2
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(-1, 1, (n, d)), jnp.float32)
+        fobs = jnp.asarray(rng.normal(size=(n,)), jnp.float32)
+        eta = jnp.float32(float(fobs.max()))
+        # anchor theta overflows the Gram in fp32 (outputscale e^90 = inf
+        # -> NaN Cholesky); the remaining lanes are sane
+        thetas = jnp.asarray(
+            np.vstack([[0.0, -4.0, 0.0, 90.0],
+                       np.tile([0.0, -4.0, 0.0, 0.0], (3, 1))]),
+            jnp.float32)
+        lmls = np.asarray(_fitbo_mll_sweep(thetas, x, fobs, eta, None))
+        assert lmls[0] == EPS_LML
+        assert np.isfinite(lmls[1:]).all() and (lmls[1:] > EPS_LML).all()
+        # downstream hyperposterior weights stay NaN-free; the dead anchor
+        # carries zero mass
+        w = np.exp(lmls - lmls.max())
+        assert np.isfinite(w).all() and w[0] == 0.0
+
+    def test_near_singular_duplicated_rows_no_nan(self):
+        # identical inputs + inconsistent targets + ~zero noise: the
+        # fixed-jitter factorization must either survive or fall cleanly
+        # to EPS_LML — never emit NaN into the sweep
+        from sober_tpu.gp.fbgp import EPS_LML
+
+        x = jnp.zeros((32, 2), jnp.float32)
+        fobs = jnp.asarray(np.linspace(-1.0, -2.0, 32), jnp.float32)
+        eta = jnp.float32(-0.5)
+        theta = jnp.asarray(np.log([1e-3, 1e-12, 1.0, 1.0]), jnp.float32)
+        v = float(fitbo_mll(theta, x, fobs, eta))
+        assert not np.isnan(v)
+        assert v == EPS_LML or np.isfinite(v)
+
+    def test_nystrom_with_top_degenerate_n1(self):
+        # ADVICE r4: n_nys=1 used to slice [-0:] == ALL rows, inflating
+        # the Nystrom set to N+1 and changing compiled shapes downstream
+        from sober_tpu.gp.fbgp import _nystrom_with_top
+
+        rng = np.random.default_rng(1)
+        hs = jnp.asarray(rng.normal(size=(40, 4)), jnp.float32)
+        w = jnp.asarray(rng.uniform(0.1, 1.0, (40,)), jnp.float32)
+        w = w / w.sum()
+        out = _nystrom_with_top(jax.random.key(0), hs, w, 1)
+        assert out.shape == (1, 4)
+        out8 = _nystrom_with_top(jax.random.key(0), hs, w, 8)
+        assert out8.shape == (8, 4)

@@ -159,3 +159,57 @@ def test_icm_beats_independent_on_coupled_tasks():
     # both extrapolate; the ICM's learned coupling must not hurt, and the
     # joint fit is at least as good (measured: comfortably better)
     assert rmse_icm < rmse_ind * 1.05, (rmse_icm, rmse_ind)
+
+
+def _icm_truth_aniso(n=96, t=2, seed=7, noise=0.03, ls=(0.3, 1.5)):
+    """Anisotropic exact-ICM ground truth: per-dimension lengthscales so
+    only an ARD data kernel can match the generative covariance."""
+    rng = np.random.default_rng(seed)
+    d = len(ls)
+    x = rng.uniform(-1, 1, (n, d)).astype(np.float32)
+    d2 = (((x[:, None, :] - x[None, :, :]) / np.asarray(ls)) ** 2).sum(-1)
+    k = np.exp(-0.5 * d2) + 1e-6 * np.eye(n)
+    b_true = np.array([[1.0, 0.7], [0.7, 1.0]]) + 0.05 * np.eye(t)
+    z = rng.normal(size=(n, t)).astype(np.float32)
+    y = (np.linalg.cholesky(k) @ z @ np.linalg.cholesky(b_true).T
+         + noise * rng.normal(size=(n, t))).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(y), np.asarray(ls)
+
+
+def test_icm_ard_recovers_per_dim_lengthscales():
+    """VERDICT r4 #7: with ard=True the ICM data kernel carries one
+    lengthscale per input dimension and recovers anisotropy the isotropic
+    kernel averages away (botorch KroneckerMultiTaskGP default is ARD,
+    SOBER/_inverse_modelling.py:159-186)."""
+    x, y, true_ls = _icm_truth_aniso()
+    st = fit_icm_gp(x, y, fit_iters=300, ard=True)
+    ls = np.asarray(st.lengthscale)
+    assert ls.shape == (2,)
+    # ordering + rough magnitude (single-realization MLL noise bounds
+    # tightness; the long lengthscale is weakly identified from [-1,1])
+    assert ls[0] < ls[1]
+    assert abs(ls[0] - true_ls[0]) < 0.15
+    assert ls[1] > 0.8
+    # held-out prediction: the ARD fit must beat the isotropic fit on
+    # anisotropic data (in-sample RMSE would mislead — a shorter isotropic
+    # lengthscale interpolates the training rows more tightly)
+    x_tr, y_tr, x_te, y_te = x[:72], y[:72], x[72:], y[72:]
+    ard = fit_icm_gp(x_tr, y_tr, fit_iters=300, ard=True)
+    iso = fit_icm_gp(x_tr, y_tr, fit_iters=300)
+    mu_ard, _ = predict_icm(ard, x_te)
+    mu_iso, _ = predict_icm(iso, x_te)
+    rmse_ard = float(jnp.sqrt(jnp.mean((mu_ard - y_te) ** 2)))
+    rmse_iso = float(jnp.sqrt(jnp.mean((mu_iso - y_te) ** 2)))
+    assert rmse_ard <= rmse_iso * 1.05, (rmse_ard, rmse_iso)
+
+
+def test_icm_matern52_fits_and_predicts():
+    """kernel="matern52" (botorch's default family) fits, predicts, and
+    keeps the joint covariance PSD."""
+    x, y, _, _ = _icm_truth(seed=8)
+    st = fit_icm_gp(x, y, fit_iters=200, ard=True, kernel="matern52")
+    mu, var = predict_icm(st, x)
+    assert mu.shape == y.shape and bool(jnp.all(var > 0))
+    assert np.abs(np.asarray(mu - y)).mean() < 0.2
+    cov = np.asarray(task_posterior_cov_icm(st, x[:4]))
+    assert (np.linalg.eigvalsh(cov) > -1e-5).all()

@@ -31,24 +31,32 @@ OUT = os.path.join(os.path.dirname(__file__), "..", "docs",
 SEEDS = (0, 1, 2)
 
 
-def record(task, seed, cfg, history, wall_s):
+def record(task, seed, cfg, history, wall_s, telemetry=None):
     row = {
         "task": task, "seed": seed, "cfg": cfg,
         "best_per_iter": [round(b, 6) for _, b in history],
         "acq_s_per_iter": [round(t, 4) for t, _ in history],
         "wall_s": round(wall_s, 2),
     }
+    if telemetry:
+        # stagnation/health diagnostics (VERDICT r4 #9): resets fired,
+        # positive-weight pool counts, fused-vs-staged path per iteration
+        row["resets_per_iter"] = [int(t["reset"]) for t in telemetry]
+        row["n_pos_per_iter"] = [t["n_pos"] for t in telemetry]
+        row["path_per_iter"] = [t["path"] for t in telemetry]
     with open(OUT, "a") as f:
         f.write(json.dumps(row) + "\n")
     print(f"[{task} seed={seed}] best={row['best_per_iter'][-1]} "
           f"wall={wall_s:.1f}s", flush=True)
 
 
-def _full_bucket(overrides, n_iterations=15, n_init=100):
+def _full_bucket(overrides):
     """One observation bucket covering the WHOLE run: linear 128-buckets
     cross a boundary nearly every iteration at batch 200, recompiling the
     big fused programs each time (minutes each through the tunnel). A
     fixed max-size pad means ONE compile per task, reused across seeds."""
+    n_init = overrides.get("n_init", 100)
+    n_iterations = overrides.get("n_iterations", 15)
     n_max = n_init + overrides.get("batch_size", 100) * n_iterations
     return ((n_max + 127) // 128) * 128
 
@@ -61,10 +69,12 @@ def run_example(task, module, seeds=SEEDS, **overrides):
         if already_done(task, seed):
             continue
         t0 = time.monotonic()
-        _, _, history = mod.main(seed=seed, verbose=False, **overrides)
+        telemetry = []
+        _, _, history = mod.main(seed=seed, verbose=False,
+                                 telemetry=telemetry, **overrides)
         record(task, seed, {k: v for k, v in overrides.items()
                             if k != "gp_kwargs"} or "reference", history,
-               time.monotonic() - t0)
+               time.monotonic() - t0, telemetry)
 
 
 def run_dataset(task, setup, n_rec, seeds=SEEDS, n_init=100, batch_size=100,
@@ -86,6 +96,7 @@ def run_dataset(task, setup, n_rec, seeds=SEEDS, n_init=100, batch_size=100,
         sober = Sober(prior, model, seed=seed,
                       kernel_type="weighted_predictive_covariance")
         history = []
+        telemetry = []
         for _ in range(n_iterations):
             start = time.monotonic()
             model = fit_tanimoto_gp(x_all, y_all, bucket=bucket)
@@ -96,7 +107,14 @@ def run_dataset(task, setup, n_rec, seeds=SEEDS, n_init=100, batch_size=100,
             x_all = jnp.concatenate([x_all, x_batch])
             y_all = jnp.concatenate([y_all, y_batch])
             history.append((interval, float(y_all.max())))
-        record(task, seed, {"n_rec": n_rec}, history, time.monotonic() - t0)
+            telemetry.append({
+                "reset": bool(sober.last_reset),
+                "path": sober.last_path,
+                "n_pos": (int(sober.last_npos)
+                          if sober.last_npos is not None else None),
+            })
+        record(task, seed, {"n_rec": n_rec}, history, time.monotonic() - t0,
+               telemetry)
 
 
 def already_done(task, seed):

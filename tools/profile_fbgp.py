@@ -10,8 +10,9 @@ meaningless here.
 
 Stages (matching fbgp_refit_traced, gp/fbgp.py):
   1. draw+lml_sweep   hyperprior draw + 1001-theta vmapped FITBO LML
-  2. surrogate_fit    exp-warped hyper-surrogate MAP fit on (1001, 4)
-  3. distillation     deweighted resampling + RCHQ recombination to n_qd
+  2. surrogate_fit    exp-warped hyper-surrogate MAP fit on the
+                      _SURROGATE_FIT_N-row subset (production shape)
+  3. distillation     Nystrom-with-top subset + RCHQ recombination to n_qd
   4. chain_caches     50 x Cholesky(128) conditioning caches
   5. full             the whole fused program
 
@@ -44,14 +45,14 @@ def timed(fn, *args, n=7):
 
 
 def main():
-    from sober_tpu.gp.fbgp import (FitboGP, RBFHyperPrior, _VBQ_CFG,
-                                   _chain_cache, fbgp_refit_traced,
-                                   fitbo_mll, _theta_map_of)
+    from sober_tpu.gp.fbgp import (FitboGP, RBFHyperPrior, _SURROGATE_FIT_N,
+                                   _VBQ_CFG, _chain_cache, _nystrom_with_top,
+                                   fbgp_refit_traced, fitbo_mll,
+                                   _theta_map_of)
     from sober_tpu.gp.exact import fit_params, materialize
     from sober_tpu.core.rchq import _recombination_impl
     from sober_tpu.utils.linalg import remove_anomalies
-    from sober_tpu.utils.weights import cleansing_weights, \
-        deweighted_resampling
+    from sober_tpu.utils.weights import cleansing_weights
 
     rng = np.random.default_rng(0)
     x_raw = jnp.asarray(rng.uniform(-1, 1, (N_OBS, D)), jnp.float32)
@@ -85,10 +86,14 @@ def main():
     big = jnp.exp(samples)
     hypersamples = jnp.concatenate([eta + big[:, :1], big[:, 1:]], axis=1)
     weights0 = cleansing_weights(jnp.exp(lmls - jnp.max(lmls)))
-    idx_nys = deweighted_resampling(k_nys, weights0, N_NYS)
-    hyper_nys = hypersamples[idx_nys]
-    y_exp0 = jnp.exp(remove_anomalies(lmls) - jnp.max(remove_anomalies(lmls)))
-    params_fit = fit_params(hypersamples, y_exp0, _VBQ_CFG,
+    hyper_nys = _nystrom_with_top(k_nys, hypersamples, weights0, N_NYS)
+    # production parity (ADVICE r4): the surrogate MAP fit sees only the
+    # first _SURROGATE_FIT_N hypersamples, renormalized within the subset —
+    # same targets fbgp_refit_traced fits on
+    n_fit = min(_SURROGATE_FIT_N, N_HYPERS + 1)
+    y_fit0 = remove_anomalies(lmls)[:n_fit]
+    y_exp0 = jnp.exp(y_fit0 - jnp.max(y_fit0))
+    params_fit = fit_params(hypersamples[:n_fit], y_exp0, _VBQ_CFG,
                             optimiser="lbfgs")
     kernel_fit, _ = materialize(params_fit, _VBQ_CFG)
     idx_qd, w_qd = _recombination_impl(hypersamples, hyper_nys, N_QD,
@@ -118,15 +123,17 @@ def main():
         return jnp.sum(sweep(s, x, fobs, e, mask))
 
     def body_fit(y0, eps):
+        # production shape: Cholesky(n_fit) subset fit, not Cholesky(1001)
         ye = y0 * (1.0 + eps)
-        p = fit_params(hypersamples, ye, _VBQ_CFG, optimiser="lbfgs")
+        p = fit_params(hypersamples[:n_fit], ye, _VBQ_CFG,
+                       optimiser="lbfgs")
         return jnp.sum(p.raw_lengthscale) + jnp.sum(p.raw_outputscale)
 
     def body_distill(w0, eps):
         w = w0 * (1.0 + eps)
         w = w / jnp.sum(w)
-        i_nys = deweighted_resampling(k_nys, w, N_NYS)
-        idx, wq = _recombination_impl(hypersamples, hypersamples[i_nys],
+        h_nys = _nystrom_with_top(k_nys, hypersamples, w, N_NYS)
+        idx, wq = _recombination_impl(hypersamples, h_nys,
                                       N_QD, kernel_fit.gram,
                                       init_weights=w)
         return jnp.sum(wq)
