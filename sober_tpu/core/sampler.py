@@ -74,6 +74,21 @@ class RecombinationSampler:
                  mesh=None, schedule: str = "gspmd"):
         if schedule not in ("gspmd", "blockwise"):
             raise ValueError('schedule must be "gspmd" or "blockwise"')
+        if mesh is not None and schedule == "blockwise":
+            import warnings
+
+            # explicit de-scope (VERDICT r4 #8): the fused one-dispatch
+            # iteration/step programs are gspmd-only; blockwise keeps the
+            # staged multi-dispatch pipeline in exchange for its bounded-
+            # communication recombination (docs/MULTICHIP.md). Never
+            # downgrade silently.
+            warnings.warn(
+                'schedule="blockwise" runs the STAGED (multi-dispatch) '
+                "pipeline — the fused one-dispatch iteration/step programs "
+                'are gspmd-only. Use schedule="gspmd" (default) for '
+                "production latency; blockwise bounds recombination "
+                "communication independently of the pool size "
+                "(docs/MULTICHIP.md).", stacklevel=3)
         self.kernel = kernel
         self.thresh = thresh
         self.keys = KeyRing(seed)

@@ -451,6 +451,44 @@ class TestSoberMeshMode:
         pi_1 = float(jnp.mean(sober_1.pi(xb_1)))
         assert pi_m > 0.25 * pi_1
 
+    def test_gspmd_fused_step_fbgp_on_mesh(self, mesh):
+        """Sober.step_fbgp (WSABI base refit + hyperposterior sweep +
+        distillation + candidate pipeline + recombination, ONE program)
+        under mesh mode (VERDICT r4 #4 — the one claimed-yet-untested
+        mesh combination). Runs fused, selects a valid in-bounds batch,
+        and matches the single-device fused step_fbgp's quadrature
+        quality at the same seed."""
+        from sober_tpu.core.sober import Sober
+        from sober_tpu.gp.fbgp import RBFHyperPrior
+        from sober_tpu.priors import Uniform
+
+        rng = np.random.default_rng(33)
+        d = 2
+        x = jnp.asarray(rng.uniform(-1, 1, (24, d)), jnp.float32)
+        y = jnp.exp(-0.5 * jnp.sum((x / 0.6) ** 2, axis=1)) \
+            + 0.01 * jnp.asarray(rng.normal(size=24), jnp.float32)
+        state = fit_gp(x, y)
+        bounds = jnp.stack([-jnp.ones(d), jnp.ones(d)])
+        hp = RBFHyperPrior()
+        kw = dict(n_hypers=64, n_nys_qd=16, n_qd=8)
+
+        sober_m = Sober(Uniform(bounds), state, seed=14, mesh=mesh)
+        xb_m = sober_m.step_fbgp(x, y, hp, 2048, 64, 8, **kw)
+        assert "fused_iteration" in sober_m.last_timings
+        assert sober_m.last_path == "fused"
+        assert xb_m.shape == (8, d)
+        assert bool(jnp.isfinite(xb_m).all())
+        assert bool((jnp.abs(xb_m) <= 1.0 + 1e-6).all())
+        # the sampler now carries the refit FBGP (not the exact GP)
+        assert sober_m.fbgp
+        assert 0 < int(sober_m.last_npos) <= 2048
+
+        sober_1 = Sober(Uniform(bounds), state, seed=14)
+        xb_1 = sober_1.step_fbgp(x, y, hp, 2048, 64, 8, **kw)
+        pi_m = float(jnp.mean(sober_m.pi(xb_m)))
+        pi_1 = float(jnp.mean(sober_1.pi(xb_1)))
+        assert pi_m > 0.25 * pi_1
+
     def test_gspmd_fused_dataset_iteration_matches_single_device(self, mesh):
         """Dataset domain through the FUSED mesh program: the pi sweep over
         the sharded pool + distributed pruning + recombination select the
@@ -489,8 +527,11 @@ class TestSoberMeshMode:
         y = jnp.sin(3 * x[:, 0])
         state = fit_gp(x, y)
         bounds = jnp.stack([-jnp.ones(d), jnp.ones(d)])
-        sober = Sober(Uniform(bounds), state, seed=6, mesh=mesh,
-                      schedule="blockwise")
+        # selecting blockwise with a mesh must WARN about the fusion
+        # de-scope (staged pipeline only) — never a silent downgrade
+        with pytest.warns(UserWarning, match="gspmd-only"):
+            sober = Sober(Uniform(bounds), state, seed=6, mesh=mesh,
+                          schedule="blockwise")
         prior0 = sober.prior
         for _ in range(2):
             xb = sober.next_batch(2048, 64, 8)
