@@ -88,6 +88,16 @@ class GPState(NamedTuple):
     # buffer; None when unpadded. Padding keeps compiled shapes stable while
     # the BO loop appends observations.
     mask: Optional[jax.Array] = None
+    # (n, n) explicit L^-1 of the cached factor. predict/
+    # predictive_covariance against a WIDE query axis (candidate pools up
+    # to 2e5) then run as pure matmuls on the MXU instead of triangular
+    # solves: XLA's solve expander materializes O(n/block) full-width
+    # temps, which at n_pad=3200 x n_rec=2e5 exceeded HBM (35 GB observed
+    # compiling the ising acceptance config). This is also the reference's
+    # own structure — gpytorch's covar_cache IS an explicit Woodbury
+    # inverse (SOBER/_gp.py:255-278). None on hand-built states: the solve
+    # path is then used.
+    linv: Optional[jax.Array] = None
 
     @property
     def train_x(self):
@@ -463,8 +473,12 @@ def build_state(params: GPParams, x: jax.Array, y_raw: jax.Array,
     k = _masked_gram(kernel, noise, x, mask)
     chol, _ = jitter_cholesky(k)
     alpha = jax.scipy.linalg.cho_solve((chol, True), resid)
+    # one (n, n)-RHS solve per fit buys matmul-only prediction (see
+    # GPState.linv) — small temps here, MXU-only prediction afterwards
+    linv = solve_triangular(chol, jnp.eye(chol.shape[0], dtype=chol.dtype),
+                            lower=True)
     return GPState(cfg, kernel, noise, x, y, y_mean, y_std, chol, alpha,
-                   params.mean_params, mask)
+                   params.mean_params, mask, linv)
 
 
 def raw_params_from_state(state: GPState) -> GPParams:
@@ -546,7 +560,10 @@ def predict(state: GPState, xq: jax.Array, include_noise: bool = True):
     if state.mask is not None:
         kqx = kqx * state.mask[None, :]
     mean = mean_value(state.config, state.mean_params, xq) + kqx @ state.alpha
-    v = solve_triangular(state.chol, kqx.T, lower=True)  # (n, m)
+    if state.linv is not None:
+        v = state.linv @ kqx.T                           # (n, m) matmul
+    else:
+        v = solve_triangular(state.chol, kqx.T, lower=True)
     var = state.kernel.diag(xq) - jnp.sum(v * v, axis=0)
     var = jnp.maximum(var, 1e-12)
     if include_noise:
@@ -568,9 +585,9 @@ def predictive_covariance(state: GPState, x: jax.Array,
                           y: jax.Array) -> jax.Array:
     """Posterior cross-covariance k(x,y|D) = Kxy - KxX (Kxx+s^2 I)^-1 KXy.
 
-    Replaces the reference's Woodbury covar_cache route
-    (SOBER/_gp.py:281-305) with two triangular solves against the cached
-    factor — numerically stabler and one fused XLA program.
+    The reference's Woodbury covar_cache route (SOBER/_gp.py:281-305)
+    realized as two cached-L^-1 matmuls (GPState.linv; triangular solves
+    on linv-less hand-built states) in one fused XLA program.
     """
     kxy = state.kernel.gram(x, y)
     kxX = state.kernel.gram(x, state.x)
@@ -578,8 +595,12 @@ def predictive_covariance(state: GPState, x: jax.Array,
     if state.mask is not None:
         kxX = kxX * state.mask[None, :]
         kXy = kXy * state.mask[:, None]
-    a = solve_triangular(state.chol, kxX.T, lower=True)   # (n, |x|)
-    b = solve_triangular(state.chol, kXy, lower=True)     # (n, |y|)
+    if state.linv is not None:
+        a = state.linv @ kxX.T                            # matmul (n, |x|)
+        b = state.linv @ kXy                              # matmul (n, |y|)
+    else:
+        a = solve_triangular(state.chol, kxX.T, lower=True)
+        b = solve_triangular(state.chol, kXy, lower=True)
     return kxy - a.T @ b
 
 

@@ -84,7 +84,8 @@ def run_dataset(task, setup, n_rec, seeds=SEEDS, n_init=100, batch_size=100,
     from sober_tpu.gp import fit_tanimoto_gp
     from sober_tpu.utils.prng import KeyRing
 
-    bucket = _full_bucket({"batch_size": batch_size}, n_iterations, n_init)
+    bucket = _full_bucket({"batch_size": batch_size,
+                           "n_iterations": n_iterations, "n_init": n_init})
     for seed in seeds:
         if already_done(task, seed):
             continue

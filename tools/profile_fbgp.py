@@ -122,6 +122,43 @@ def main():
         ])
         return jnp.sum(sweep(s, x, fobs, e, mask))
 
+    # --- LML-sweep sub-stages (where do the 50 ms go?) ---------------------
+    from sober_tpu.gp.fbgp import _rbf_gram_xx, _fixed_jitter_cholesky
+    from jax.scipy.linalg import cho_solve, solve_triangular
+
+    def _sweep_sub(upto):
+        def body(eta0, eps):
+            e = eta0 + eps
+
+            def one(tl):
+                big = jnp.exp(tl)
+                eta_h = e + big[0]
+                noise, ls, os_ = big[1], big[2:-1], big[-1]
+                gobs = jnp.sign(eta_h) * jnp.sqrt(
+                    jnp.maximum(2.0 * (eta_h - fobs), 0.0)) * mask
+                kxx = _rbf_gram_xx(x, ls, os_)
+                mm = mask[:, None] * mask[None, :]
+                kxx = kxx * mm
+                kn = kxx + big[1] * jnp.diag(mask) + jnp.diag(1.0 - mask)
+                if upto == "gram":
+                    return jnp.sum(kn)
+                chol = _fixed_jitter_cholesky(kn)
+                if upto == "chol":
+                    return jnp.sum(jnp.log(jnp.abs(jnp.diagonal(chol))))
+                alpha = cho_solve((chol, True), gobs)
+                mu = kxx @ alpha
+                v = solve_triangular(chol, kxx, lower=True)
+                cov = kxx - v.T @ v + big[1] * jnp.diag(mask)
+                if upto == "covg":
+                    return jnp.sum(mu) + jnp.sum(jnp.diagonal(cov))
+                cov_f = mu[:, None] * cov * mu[None, :] + 0.5 * cov**2
+                cov_f = cov_f * mm + jnp.diag(1.0 - mask)
+                chol_f = _fixed_jitter_cholesky(cov_f)
+                return jnp.sum(jnp.log(jnp.abs(jnp.diagonal(chol_f))))
+
+            return jnp.sum(jax.vmap(one)(samples))
+        return body
+
     def body_fit(y0, eps):
         # production shape: Cholesky(n_fit) subset fit, not Cholesky(1001)
         ye = y0 * (1.0 + eps)
@@ -161,6 +198,10 @@ def main():
 
     rows = [
         ("draw+lml_sweep", stage_sweep, eta),
+        ("sweep[gram]", chained(_sweep_sub("gram")), eta),
+        ("sweep[+chol]", chained(_sweep_sub("chol")), eta),
+        ("sweep[+cov_g]", chained(_sweep_sub("covg")), eta),
+        ("sweep[+chol_f]", chained(_sweep_sub("cholf")), eta),
         ("surrogate_fit", stage_fit, y_exp0),
         ("distillation", stage_distill, weights0),
         ("chain_caches", stage_chains, fobs),
@@ -174,7 +215,9 @@ def main():
     for name, fn, arg in rows:
         t, _ = timed(fn, arg)
         per = (t - rt) / K * 1e3
-        if name != "full_fused":
+        # sweep[...] rows are cumulative sub-stages of draw+lml_sweep —
+        # diagnostics, not additive stages
+        if name != "full_fused" and not name.startswith("sweep["):
             total += per
         print(f"{name:>16}: {per:8.2f} ms/eval   (program {t*1e3:.1f} ms)")
     print(f"{'sum of stages':>16}: {total:8.2f} ms")
