@@ -1058,11 +1058,11 @@ def _fbgp_fit_and_tree(x_pad, y_pad, mask, hypermu, hyperstd, k_hyper,
     theta_map = jnp.concatenate([
         jnp.atleast_1d(state.noise), ls,
         jnp.atleast_1d(state.kernel.params["outputscale"])])
-    w_qd, theta_qd, chol, alpha_ch = fbgp_refit_traced(
+    w_qd, theta_qd, linv_ch, alpha_ch = fbgp_refit_traced(
         x_pad, fobs, mask, alpha, theta_map, hypermu, hyperstd,
         k_hyper, k_qdnys, n_hypers=n_hypers, n_nys=n_nys_qd, n_qd=n_qd,
         cfg=_VBQ_CFG)
-    tree = (x_pad, theta_qd, chol, alpha_ch, w_qd, mask)
+    tree = (x_pad, theta_qd, linv_ch, alpha_ch, w_qd, mask)
     return state, alpha, fobs, tree
 
 
@@ -1080,8 +1080,8 @@ def _fbgp_step_out(tree, alpha, fobs, x_batch, w_rchq, *tail):
     only keeps the FBGP tree, and materializing the unused O(n_pad^2)
     posterior caches as program outputs would cost device memory for
     nothing."""
-    x_pad, theta_qd, chol, alpha_ch, w_qd, mask = tree
-    return (alpha, fobs, w_qd, theta_qd, chol, alpha_ch,
+    x_pad, theta_qd, linv_ch, alpha_ch, w_qd, mask = tree
+    return (alpha, fobs, w_qd, theta_qd, linv_ch, alpha_ch,
             x_batch, w_rchq) + tail
 
 

@@ -440,11 +440,11 @@ class Sober(EmpiricalSampler):
             return self.next_batch(n_rec, n_nys, batch_size, calc_obj=obj,
                                    return_weights=return_weights,
                                    recycle_prior=recycle_prior)
-        (alpha, fobs, w_qd, theta_qd, chol, alpha_ch, x_batch,
+        (alpha, fobs, w_qd, theta_qd, linv_ch, alpha_ch, x_batch,
          w_rchq) = out
         fbgp = FullyBayesianGP.from_arrays(
             x_pad, fobs, mask, alpha, w_qd, theta_qd,
-            _ChainCache(chol, alpha_ch))
+            _ChainCache(linv_ch, alpha_ch))
         self.update_model(fbgp)
         total = time.monotonic() - t0
         self.last_timings = {"fused_iteration": total, "total": total}

@@ -475,12 +475,19 @@ def quadrature_distillation(hypersamples, lmls, n_nys: int = 100,
 # ----------------------------------------------------------------------------
 
 class _ChainCache(NamedTuple):
-    chol: jax.Array    # (q, n, n)
+    # (q, n, n) explicit L^-1 per chain (NOT the Cholesky factor itself):
+    # every downstream consumer only ever SOLVES against the factor with a
+    # candidate-pool-wide right-hand side (the 50-chain pi sweep and the
+    # marginal-covariance kernel), and caching the inverse turns those
+    # batched triangular solves into batched MXU matmuls — the same
+    # structural choice as GPState.linv, and the reference's own
+    # covar_cache Woodbury route (SOBER/_gp.py:255-278).
+    linv: jax.Array
     alpha: jax.Array   # (q, n)
 
 
 def _chain_cache(theta, x, fobs, mask):
-    """One chain's conditioning cache: Cholesky of K+noise and alpha on the
+    """One chain's conditioning cache: L^-1 of K+noise and alpha on the
     WSABI-warped targets (pure function so the vmapped sweep below compiles
     once per observation-bucket shape rather than per FBGP refit)."""
     eta_h, noise, ls, os_ = theta[0], theta[1], theta[2:-1], theta[-1]
@@ -496,7 +503,9 @@ def _chain_cache(theta, x, fobs, mask):
         kn = kxx + noise * jnp.eye(x.shape[0], dtype=x.dtype)
     chol, _ = jitter_cholesky(kn)
     alpha = cho_solve((chol, True), gobs)
-    return chol, alpha
+    linv = solve_triangular(chol, jnp.eye(chol.shape[0], dtype=chol.dtype),
+                            lower=True)
+    return linv, alpha
 
 
 _chain_cache_sweep = jax.jit(
@@ -562,9 +571,9 @@ def fbgp_refit_traced(x, fobs, mask, eta, theta_map, hypermu, hyperstd,
     idx, w_qd = _recombination_impl(hypersamples, hyper_nys, n_qd,
                                     kernel.gram, init_weights=weights)
     theta_qd = hypersamples[idx]
-    chol, alpha = jax.vmap(_chain_cache, in_axes=(0, None, None, None))(
+    linv, alpha = jax.vmap(_chain_cache, in_axes=(0, None, None, None))(
         theta_qd, x, fobs, mask)
-    return w_qd, theta_qd, chol, alpha
+    return w_qd, theta_qd, linv, alpha
 
 
 _fbgp_refit_program = jax.jit(
@@ -586,13 +595,13 @@ def fbgp_refit(model: "FitboGP", hyperprior: "RBFHyperPrior",
     if use_map:
         hyperprior.initialise(theta_map)
     k_sample, k_nys = jax.random.split(key)
-    w_qd, theta_qd, chol, alpha = _fbgp_refit_program(
+    w_qd, theta_qd, linv, alpha = _fbgp_refit_program(
         model.model.x, getattr(model, "fobs_padded", model.Y_unwarp),
         model.model.mask, model.alpha, theta_map, hyperprior.hypermu,
         hyperprior.hyperstd, k_sample, k_nys, n_hypers=n_hypers,
         n_nys=n_nys, n_qd=n_qd, cfg=_VBQ_CFG)
     return FullyBayesianGP(model, w_qd, theta_qd,
-                           cache=_ChainCache(chol, alpha))
+                           cache=_ChainCache(linv, alpha))
 
 
 class FullyBayesianGP:
@@ -629,20 +638,22 @@ class FullyBayesianGP:
         return obj
 
     def _build_caches(self):
-        chol, alpha = _chain_cache_sweep(
+        linv, alpha = _chain_cache_sweep(
             self.Theta_qd, self.Xobs, self.fobs, self.mask)
-        self._cache = _ChainCache(chol, alpha)
+        self._cache = _ChainCache(linv, alpha)
 
-    def fitbo_predict(self, x_test, theta, chol, alpha):
+    def fitbo_predict(self, x_test, theta, linv, alpha):
         """One chain's f-space posterior (fitbo_predict,
-        SOBER/FBGP/_fully_Bayesian_gp.py:262-289)."""
+        SOBER/FBGP/_fully_Bayesian_gp.py:262-289). `linv` is the cached
+        L^-1 (see _ChainCache) so the pool-wide variance reduction is one
+        matmul."""
         eta_h, noise, ls, os_ = theta[0], theta[1], theta[2:-1], theta[-1]
         params = {"lengthscale": ls, "outputscale": os_}
         kqx = rbf_gram(params, x_test, self.Xobs)
         if self.mask is not None:
             kqx = kqx * self.mask[None, :]
         mu_g = kqx @ alpha
-        v = solve_triangular(chol, kqx.T, lower=True)
+        v = linv @ kqx.T
         var_g = jnp.maximum(os_ - jnp.sum(v * v, axis=0), 0.0) + noise
         mu_f = eta_h - 0.5 * (mu_g**2 + var_g)
         var_f = jnp.maximum(mu_g * var_g * mu_g + 0.5 * var_g**2, 0.0)
@@ -652,7 +663,7 @@ class FullyBayesianGP:
         """(q, m) per-chain predictions — vmapped over chains
         (SOBER/FBGP/_fully_Bayesian_gp.py:307-323)."""
         f = jax.vmap(self.fitbo_predict, in_axes=(None, 0, 0, 0))
-        return f(x_test, self.Theta_qd, self._cache.chol, self._cache.alpha)
+        return f(x_test, self.Theta_qd, self._cache.linv, self._cache.alpha)
 
     def marginal_predict(self, x_test):
         """(SOBER/FBGP/_fully_Bayesian_gp.py:325-339)"""
@@ -690,22 +701,22 @@ def _fbgp_chain_predict(tree, x_test):
     (fitbo_predict vmapped over chains, as in batch_predict) — shared by
     the covariance apply, the pi apply, and the acquisition applies below
     so all of them ride the rc/pi stable-callable protocol."""
-    x_obs, theta_qd, chol, alpha, w_qd, mask = tree
+    x_obs, theta_qd, linv, alpha, w_qd, mask = tree
 
-    def one(theta, chol_i, alpha_i):
+    def one(theta, linv_i, alpha_i):
         eta_h, noise, ls, os_ = theta[0], theta[1], theta[2:-1], theta[-1]
         params = {"lengthscale": ls, "outputscale": os_}
         kqx = rbf_gram(params, x_test, x_obs)
         if mask is not None:
             kqx = kqx * mask[None, :]
         mu_g = kqx @ alpha_i
-        v = solve_triangular(chol_i, kqx.T, lower=True)
+        v = linv_i @ kqx.T         # cached L^-1: batched MXU matmul
         var_g = jnp.maximum(os_ - jnp.sum(v * v, axis=0), 0.0) + noise
         mu_f = eta_h - 0.5 * (mu_g**2 + var_g)
         var_f = jnp.maximum(mu_g * var_g * mu_g + 0.5 * var_g**2, 0.0)
         return mu_f, var_f
 
-    return jax.vmap(one)(theta_qd, chol, alpha)
+    return jax.vmap(one)(theta_qd, linv, alpha)
 
 
 def _fbgp_chain_mu(tree, x_test):
@@ -742,7 +753,7 @@ class _RCFbgpKernel:
 
 def _fbgp_tree(model: "FullyBayesianGP"):
     """The FBGP stable tree shared by the rc/pi/acquisition applies."""
-    return (model.Xobs, model.Theta_qd, model._cache.chol,
+    return (model.Xobs, model.Theta_qd, model._cache.linv,
             model._cache.alpha, model.w_qd, model.mask)
 
 

@@ -299,13 +299,13 @@ def sharded_fbgp_batch_predict(mesh: Mesh, fbgp, x_test: jax.Array,
     owns a block of chains (and their Cholesky caches); the hyperposterior-
     weighted marginal is a psum (SURVEY.md §5.8c)."""
     theta = fbgp.Theta_qd
-    chol = fbgp._cache.chol
+    linv = fbgp._cache.linv
     alpha = fbgp._cache.alpha
     w_qd = fbgp.w_qd
 
-    def block(theta_blk, chol_blk, alpha_blk, w_blk, x_test):
+    def block(theta_blk, linv_blk, alpha_blk, w_blk, x_test):
         f = jax.vmap(fbgp.fitbo_predict, in_axes=(None, 0, 0, 0))
-        mu_b, var_b = f(x_test, theta_blk, chol_blk, alpha_blk)
+        mu_b, var_b = f(x_test, theta_blk, linv_blk, alpha_blk)
         mu = jax.lax.psum(w_blk @ mu_b, axis)
         e2 = jax.lax.psum(w_blk @ (var_b + mu_b**2), axis)
         return mu, e2 - mu**2
@@ -316,4 +316,4 @@ def sharded_fbgp_batch_predict(mesh: Mesh, fbgp, x_test: jax.Array,
                   P(axis), P()),
         out_specs=(P(), P()),
     )
-    return fn(theta, chol, alpha, w_qd, x_test)
+    return fn(theta, linv, alpha, w_qd, x_test)
