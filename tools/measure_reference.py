@@ -76,7 +76,9 @@ def _extract_tanimoto():
     module imports gpytorch at top level and cannot be loaded whole)."""
     src = open(os.path.join(REF_ROOT, "_drug_modelling.py")).read()
     start = src.index("def batch_tanimoto_sim")
-    end = src.index("\ndef ", start + 1)
+    # the next top-level block is `class BitDistance`, not a def
+    end = min(i for i in (src.find("\ndef ", start + 1),
+                          src.find("\nclass ", start + 1)) if i != -1)
     ns = {"torch": torch}
     exec(compile(src[start:end], "_drug_modelling.py", "exec"), ns)
     return ns["batch_tanimoto_sim"]
