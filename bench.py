@@ -248,7 +248,7 @@ def bench_fbgp_step(n_obs=100, d=3, n_hypers=1000, n_nys_qd=100, n_qd=50,
         xb = sober.step_fbgp(x, y, hp, n_rec, n_nys, batch,
                              n_hypers=n_hypers, n_nys_qd=n_nys_qd,
                              n_qd=n_qd)
-        jax.block_until_ready(xb)
+        float(jnp.sum(xb))   # scalar fetch (see pipeline above)
 
     value = _median_time(iteration)
     _emit("fbgp_full_iteration_1000hypers", value)
@@ -273,7 +273,11 @@ def bench_fbgp(n_obs=100, d=3, n_hypers=1000, n_nys=100, n_qd=50):
     def pipeline():
         fbgp = fbgp_refit(model, hp, n_hypers=n_hypers, n_nys=n_nys,
                           n_qd=n_qd, key=key)
-        jax.block_until_ready(fbgp._cache.alpha)
+        # scalar fetch: block_until_ready does NOT reliably block through
+        # the remote-dispatch tunnel (CLAUDE.md) — an async no-op here once
+        # measured 0.4 ms for a 60+ ms pipeline. The fetch includes one
+        # host round-trip, as every per-call timing in this file does.
+        float(jnp.sum(fbgp.w_qd))
 
     value = _median_time(pipeline)
     _emit("fbgp_hyper_sweep_1000", value)

@@ -310,11 +310,118 @@ def fitbo_mll(theta_log: jax.Array, x: jax.Array, fobs: jax.Array,
     return jnp.where(jnp.isfinite(mll), mll, EPS_LML)
 
 
+def _use_blocked_fbgp() -> bool:
+    """Route the LML sweep's two batched factorizations to the blocked
+    MXU factorization (ops/blocked_chol.py) on TPU backends. Static at
+    trace time (same pattern as core/rchq.py:_use_pallas_car). CPU keeps
+    the plain vmap path: the blocked program unrolls n column steps at
+    trace time, which XLA:CPU compiles slowly for no runtime win there.
+    Opt out with SOBER_TPU_BLOCKED_FBGP=0."""
+    import os
+
+    if os.environ.get("SOBER_TPU_BLOCKED_FBGP", "1") == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _batched_fixed_jitter(a):
+    """Batched analogue of _fixed_jitter_cholesky's jitter (per-instance
+    1e-6 x mean-diag floor); factorization happens in the Pallas kernel."""
+    scale = jnp.maximum(
+        jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1), axis=-1), 1e-30)
+    n = a.shape[-1]
+    return a + (1e-6 * scale)[:, None, None] * jnp.eye(n, dtype=a.dtype)
+
+
+def fitbo_mll_batch(thetas_log, x, fobs, eta, mask=None, *,
+                    use_blocked=None):
+    """The FITBO LML sweep over a batch of hypersamples — semantically
+    jax.vmap(fitbo_mll) (bitwise math per theta, reordered into batched
+    matmuls), but with the two inner factorizations routed to the blocked
+    right-looking Cholesky (ops/blocked_chol.py). XLA's batched Cholesky
+    + triangular solves at (1001, 128, 128) run a sequential loop of
+    small batched updates (~0.1% MXU) and were 49 of the 51 ms sweep;
+    the blocked factorization does the same O(B n^2) work per block of p
+    columns as two batched MXU matmuls and produces L^-1 / the quadratic
+    form directly — 11-12 ms vs XLA's 28 ms per factorization+solve at
+    the sweep shape (docs/PERF.md r5), so every remaining solve is a
+    batched MXU matmul.
+
+    use_blocked=None auto-detects the backend (TPU only); tests force it
+    on CPU at small n where trace-time unrolling is cheap."""
+    if use_blocked is None:
+        use_blocked = _use_blocked_fbgp()
+    if not use_blocked:
+        return jax.vmap(fitbo_mll, in_axes=(0, None, None, None, None))(
+            thetas_log, x, fobs, eta, mask)
+
+    from ..ops.blocked_chol import (cholesky_inverse_blocked,
+                                    cholesky_quadform_blocked)
+
+    big = jnp.exp(thetas_log)                          # (T, p)
+    eta_h = eta + big[:, 0]                            # (T,)
+    noise, ls, os_ = big[:, 1], big[:, 2:-1], big[:, -1]
+    n, d = x.shape
+
+    gobs = jnp.sign(eta_h)[:, None] * jnp.sqrt(
+        jnp.maximum(2.0 * (eta_h[:, None] - fobs[None, :]), 0.0))  # (T, n)
+    # theta-independent pairwise differences shared across the sweep
+    # (same structure as _rbf_gram_xx) — per-theta Gram is one matmul
+    diff2 = (x[:, None, :] - x[None, :, :]) ** 2       # (n, n, d)
+    inv_ls2 = jnp.broadcast_to(1.0 / ls**2, (ls.shape[0], d))  # (T, d)
+    d2 = jnp.einsum("ijd,td->tij", diff2, inv_ls2)
+    kxx = os_[:, None, None] * jnp.exp(-0.5 * d2)      # (T, n, n)
+    if mask is not None:
+        gobs = gobs * mask[None, :]
+        mm = mask[:, None] * mask[None, :]
+        kxx = kxx * mm[None]
+        noise_diag = noise[:, None, None] * jnp.diag(mask)[None]
+        kn = kxx + noise_diag + jnp.diag(1.0 - mask)[None]
+        nreal = jnp.sum(mask)
+    else:
+        noise_diag = noise[:, None, None] * jnp.eye(n, dtype=x.dtype)[None]
+        kn = kxx + noise_diag
+        nreal = n
+    linv = cholesky_inverse_blocked(_batched_fixed_jitter(kn))
+    # alpha = (L L^T)^-1 g; posterior-at-train mean/cov (= _condition_g).
+    # The two (T, n, n) @ (T, n, n) contractions run at HIGH (3-pass
+    # bf16) instead of the package-wide HIGHEST (6-pass): the sweep's
+    # output only RANKS hypersamples through exp(LML) weights, ~1e-6
+    # relative matmul error is far below the fp32 Cholesky noise floor
+    # already accepted here, and the two passes are the sweep's biggest
+    # MXU cost. Batch SELECTION matmuls stay at highest (CLAUDE.md).
+    hi = jax.lax.Precision.HIGH
+    t1 = jnp.einsum("tij,tj->ti", linv, gobs)
+    alpha = jnp.einsum("tji,tj->ti", linv, t1)
+    mu_g = jnp.einsum("tij,tj->ti", kxx, alpha)
+    v = jnp.einsum("tij,tjk->tik", linv, kxx, precision=hi)
+    cov_g = kxx - jnp.einsum("tki,tkj->tij", v, v, precision=hi) \
+        + noise_diag
+    var_g = jnp.diagonal(cov_g, axis1=-2, axis2=-1)
+
+    mu_f = eta_h[:, None] - 0.5 * (mu_g**2 + var_g)
+    cov_f = mu_g[:, :, None] * cov_g * mu_g[:, None, :] + 0.5 * cov_g**2
+    diff = fobs[None, :] - mu_f
+    if mask is not None:
+        cov_f = cov_f * mm[None] + jnp.diag(1.0 - mask)[None]
+        diff = diff * mask[None, :]
+    w, ld = cholesky_quadform_blocked(_batched_fixed_jitter(cov_f), diff)
+    if mask is not None:
+        ld = ld * mask[None, :]
+    ll = (-0.5 * jnp.sum(w**2, axis=-1) - jnp.sum(ld, axis=-1)
+          - 0.5 * nreal * jnp.log(2.0 * jnp.pi))
+    mll = ll / nreal
+    return jnp.where(jnp.isfinite(mll), mll, EPS_LML)
+
+
 # module-level jitted sweep: a fresh jax.jit wrapper per call would retrace
 # and recompile the 1000-theta batched Cholesky on every FBGP refit
 # (ADVICE r1 / CLAUDE.md jit-cache stability invariant)
-_fitbo_mll_sweep = jax.jit(
-    jax.vmap(fitbo_mll, in_axes=(0, None, None, None, None)))
+_fitbo_mll_sweep = jax.jit(fitbo_mll_batch,
+                           static_argnames=("use_blocked",))
 
 
 def _theta_map_of(model: "FitboGP", hyperprior: "RBFHyperPrior"):
@@ -377,9 +484,11 @@ def sampling_hypers(model: FitboGP, hyperprior: RBFHyperPrior,
 # and is always kept). The fitted surrogate's ONLY consumer is its prior
 # kernel as the recombination RKHS — RCHQ moment matching stays exact by
 # construction for whatever kernel is chosen, so the lengthscale estimate
-# just needs to be sensible, and a Cholesky(256) per L-BFGS linesearch eval
-# is ~60x cheaper than the Cholesky(1001) the full fit pays.
-_SURROGATE_FIT_N = 256
+# just needs to be sensible, and a Cholesky(128) per L-BFGS linesearch eval
+# is ~480x cheaper than the Cholesky(1001) the full fit pays (256 measured
+# 13 ms of the fused refit's 46 ms; 128 fits the same lengthscales on the
+# test surfaces at an eighth of the factorization cost).
+_SURROGATE_FIT_N = 128
 
 
 class ScaleVanillaGP:
@@ -544,8 +653,7 @@ def fbgp_refit_traced(x, fobs, mask, eta, theta_map, hypermu, hyperstd,
         jnp.concatenate([jnp.array([-10.0]), jnp.log(theta_map)])[None, :],
         hypermu[None, :] + z * hyperstd[None, :],
     ])
-    lmls = jax.vmap(fitbo_mll, in_axes=(0, None, None, None, None))(
-        samples, x, fobs, eta, mask)
+    lmls = fitbo_mll_batch(samples, x, fobs, eta, mask)
     big = jnp.exp(samples)
     hypersamples = jnp.concatenate([eta + big[:, :1], big[:, 1:]], axis=1)
 

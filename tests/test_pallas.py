@@ -129,3 +129,90 @@ def test_car_pallas_end_to_end_matches_xla_loop(monkeypatch):
            for i, w in zip(np.asarray(idx_p), np.asarray(w_p))
            if w > 0}
     assert got == ref
+
+
+# ----------------------------------------------------------------------------
+# Blocked batched Cholesky inverse / quadform (ops/blocked_chol.py) — the
+# TPU production path of the FBGP LML sweep; pure JAX, so it runs (and is
+# checked) on the CPU backend directly.
+# ----------------------------------------------------------------------------
+
+def _random_psd_batch(rng, b, n, rank=16):
+    a = rng.standard_normal((b, n, rank)).astype(np.float32)
+    return a @ a.transpose(0, 2, 1) + 0.5 * np.eye(n, dtype=np.float32)
+
+
+def test_cholesky_inverse_blocked_parity():
+    from jax.scipy.linalg import solve_triangular
+    from sober_tpu.ops.blocked_chol import cholesky_inverse_blocked
+
+    rng = np.random.default_rng(0)
+    for b, n, p in [(5, 7, 4), (3, 37, 16)]:  # n not a multiple of p
+        A = _random_psd_batch(rng, b, n)
+        out = np.asarray(cholesky_inverse_blocked(jnp.asarray(A), p=p))
+        L = np.linalg.cholesky(A)
+        ref = np.stack([
+            np.asarray(solve_triangular(L[i], jnp.eye(n), lower=True))
+            for i in range(b)])
+        assert np.abs(out - ref).max() < 2e-5
+        # strictly lower-triangular output (padding sliced away)
+        assert np.abs(np.triu(out, 1)).max() == 0.0
+
+
+def test_cholesky_quadform_blocked_parity():
+    from sober_tpu.ops.blocked_chol import cholesky_quadform_blocked
+
+    rng = np.random.default_rng(1)
+    b, n = 6, 37
+    A = _random_psd_batch(rng, b, n)
+    rhs = rng.standard_normal((b, n)).astype(np.float32)
+    w, ld = cholesky_quadform_blocked(
+        jnp.asarray(A), jnp.asarray(rhs), p=8)
+    L = np.linalg.cholesky(A)
+    quad_ref = np.einsum(
+        "bi,bi->b", rhs, np.stack([np.linalg.solve(A[i], rhs[i])
+                                   for i in range(b)]))
+    logdet_ref = 2.0 * np.log(np.diagonal(L, axis1=1, axis2=2)).sum(1)
+    assert np.allclose(np.sum(np.asarray(w)**2, 1), quad_ref, rtol=1e-4)
+    assert np.allclose(2.0 * np.sum(np.asarray(ld), 1), logdet_ref,
+                       rtol=1e-4, atol=1e-4)
+
+
+def test_cholesky_blocked_nonpd_propagates_nonfinite():
+    """A non-PD instance must poison ONLY its own lane (the sweep's
+    isfinite guard maps it to EPS_LML), matching jnp.linalg.cholesky."""
+    from sober_tpu.ops.blocked_chol import cholesky_quadform_blocked
+
+    rng = np.random.default_rng(3)
+    A = _random_psd_batch(rng, 3, 12)
+    A[1] = -np.eye(12, dtype=np.float32)  # negative definite lane
+    rhs = rng.standard_normal((3, 12)).astype(np.float32)
+    w, ld = cholesky_quadform_blocked(jnp.asarray(A), jnp.asarray(rhs), p=4)
+    w, ld = np.asarray(w), np.asarray(ld)
+    assert not np.isfinite(np.sum(w[1]**2) + np.sum(ld[1]))
+    assert np.isfinite(w[[0, 2]]).all() and np.isfinite(ld[[0, 2]]).all()
+
+
+def test_fitbo_mll_batch_blocked_path_matches_vmap():
+    """The batched-matmul sweep (TPU production path, forced on here)
+    must reproduce jax.vmap(fitbo_mll) — same jitter, same masking, same
+    EPS_LML guard."""
+    from sober_tpu.gp.fbgp import EPS_LML, fitbo_mll_batch
+
+    rng = np.random.default_rng(2)
+    n, d, t = 24, 3, 7
+    x = jnp.asarray(rng.uniform(0, 1, (n, d)), jnp.float32)
+    fobs = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    eta = jnp.float32(fobs.min() - 0.1)
+    thetas = jnp.asarray(
+        rng.normal(-1.0, 0.7, (t, 4)), jnp.float32)  # (eta,noise,ls,os)
+    mask = jnp.asarray((np.arange(n) < n - 5), jnp.float32)
+
+    for m in (None, mask):
+        want = np.asarray(fitbo_mll_batch(thetas, x, fobs, eta, m,
+                                          use_blocked=False))
+        got = np.asarray(fitbo_mll_batch(thetas, x, fobs, eta, m,
+                                         use_blocked=True))
+        assert np.all(np.isfinite(got))
+        assert np.allclose(got, want, rtol=2e-3, atol=2e-3), (got, want)
+    assert EPS_LML < -1e4  # guard value stays a sentinel

@@ -48,7 +48,7 @@ def main():
     from sober_tpu.gp.fbgp import (FitboGP, RBFHyperPrior, _SURROGATE_FIT_N,
                                    _VBQ_CFG, _chain_cache, _nystrom_with_top,
                                    fbgp_refit_traced, fitbo_mll,
-                                   _theta_map_of)
+                                   fitbo_mll_batch, _theta_map_of)
     from sober_tpu.gp.exact import fit_params, materialize
     from sober_tpu.core.rchq import _recombination_impl
     from sober_tpu.utils.linalg import remove_anomalies
@@ -81,7 +81,12 @@ def main():
         jnp.concatenate([jnp.array([-10.0]), jnp.log(theta_map)])[None, :],
         hp.hypermu[None, :] + z * hp.hyperstd[None, :],
     ])
-    sweep = jax.vmap(fitbo_mll, in_axes=(0, None, None, None, None))
+    # production parity (r5): the sweep is fitbo_mll_batch, which routes
+    # the two inner factorizations to the blocked MXU Cholesky on TPU
+    # (ops/blocked_chol.py) and falls back to vmap(fitbo_mll) on CPU
+    def sweep(s, x_, f_, e_, m_):
+        return fitbo_mll_batch(s, x_, f_, e_, m_)
+
     lmls = sweep(samples, x, fobs, eta, mask)
     big = jnp.exp(samples)
     hypersamples = jnp.concatenate([eta + big[:, :1], big[:, 1:]], axis=1)
@@ -123,6 +128,10 @@ def main():
         return jnp.sum(sweep(s, x, fobs, e, mask))
 
     # --- LML-sweep sub-stages (where do the 50 ms go?) ---------------------
+    # NOTE: these cumulative rows decompose the vmap(fitbo_mll) VARIANT of
+    # the sweep (the CPU fallback / pre-r5 production path); the blocked
+    # TPU path's internal split is documented in ops/blocked_chol.py. The
+    # draw+lml_sweep row above times whichever path production takes.
     from sober_tpu.gp.fbgp import _rbf_gram_xx, _fixed_jitter_cholesky
     from jax.scipy.linalg import cho_solve, solve_triangular
 
