@@ -64,6 +64,7 @@ _REF_MEASURED_MAP = {
     "full_bo_iteration_200k_ising_d24": "ref_iteration_200k_ising_d24",
     "dataset_iteration_133k_2048": "ref_dataset_iteration_133k_2048",
     "fbgp_hyper_sweep_1000": "ref_fbgp_hyper_sweep_1000",
+    "fbgp_full_iteration_1000hypers": "ref_fbgp_full_iteration_1000hypers",
 }
 
 

@@ -28,6 +28,41 @@ from ..core.pi import lfi
 from ..core.rckernel import resolve_rc
 
 
+# ---------------------------------------------------------------------------
+# Program cache. These entry points build a shard_map program from a fresh
+# closure on every call; without caching, every invocation RETRACES AND
+# RELOWERS the whole program (the jit/eager dispatch caches key on callable
+# identity). That cost is invisible single-chip but dominates the mesh
+# paths: ~40 s per call on the 8-virtual-device CPU mesh, and through the
+# axon tunnel every eagerly dispatched op in the un-jitted tail was a
+# ~27 ms round-trip. Programs are cached on (entry, mesh, axis, static
+# shape config, kernel/objective identity) — the rc stable-callable
+# protocol (core/rckernel.py:resolve_rc) makes the kernel key a
+# module-level function so refits reuse the program; ad-hoc closures key
+# on the closure object itself (stable while the caller holds it).
+_PROGRAM_CACHE: dict = {}
+_PROGRAM_CACHE_MAX = 128
+
+
+def _cached_program(key, build):
+    prog = _PROGRAM_CACHE.get(key)
+    if prog is None:
+        if len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_MAX:
+            _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
+        prog = _PROGRAM_CACHE[key] = build()
+    return prog
+
+
+def _rc_key(obj):
+    """Cache-key for a kernel/objective: the module-level apply function
+    when the object speaks the rc protocol (jit-cache stable across
+    refits), else the object itself (stable while the caller reuses it)."""
+    if obj is None:
+        return None
+    if hasattr(obj, "rc_apply"):
+        return obj.rc_apply
+    return obj
+
 
 def _pi_weight_block(state, eta, x_blk, pdf_blk, axis, eps):
     """Per-shard pi-importance weights with global (psum) normalization —
@@ -85,14 +120,17 @@ def sharded_pi_weights(mesh: Mesh, state: GPState, eta: jax.Array,
 
     eps = settings().eps_weights
 
-    def block(state, eta, x_blk, pdf_blk):
-        return _pi_weight_block(state, eta, x_blk, pdf_blk, axis, eps)
+    def build():
+        def block(state, eta, x_blk, pdf_blk):
+            return _pi_weight_block(state, eta, x_blk, pdf_blk, axis, eps)
 
-    fn = shard_map(
-        block, mesh=mesh,
-        in_specs=(P(), P(), P(axis, None), P(axis)),
-        out_specs=P(axis),
-    )
+        return jax.jit(shard_map(
+            block, mesh=mesh,
+            in_specs=(P(), P(), P(axis, None), P(axis)),
+            out_specs=P(axis),
+        ))
+
+    fn = _cached_program(("pi", mesh, axis, eps), build)
     return fn(state, eta, x_cand, prior_pdf)
 
 
@@ -102,14 +140,17 @@ def sharded_nystrom_features(mesh: Mesh, state: GPState, u: jax.Array,
     """Phi = U @ k_post(X_nys, X_cand) with the candidate axis sharded:
     each device forms its (n_test, block) strip; the result stays sharded
     on its second axis (no all-gather until the small reduction tree)."""
-    def block(state, u, x_nys, x_blk):
-        return u @ predictive_covariance(state, x_nys, x_blk)
+    def build():
+        def block(state, u, x_nys, x_blk):
+            return u @ predictive_covariance(state, x_nys, x_blk)
 
-    fn = shard_map(
-        block, mesh=mesh,
-        in_specs=(P(), P(), P(), P(axis, None)),
-        out_specs=P(None, axis),
-    )
+        return jax.jit(shard_map(
+            block, mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis, None)),
+            out_specs=P(None, axis),
+        ))
+
+    fn = _cached_program(("nys", mesh, axis), build)
     return fn(state, u, x_nys, x_cand)
 
 
@@ -120,18 +161,21 @@ def sharded_barycenter_sums(mesh: Mesh, phi_sharded: jax.Array,
     partial segment-sums per shard, combined with one psum over ICI —
     the communication pattern of each halving round's barycenter
     compression (SURVEY.md §5.7)."""
-    def block(phi_blk, w_blk, gid_blk):
-        # phi_blk: (n_test, blk); contribution of this shard to each group
-        weighted = phi_blk * w_blk[None, :]
-        partial = jax.ops.segment_sum(weighted.T, gid_blk,
-                                      num_segments=n_groups)  # (G, n_test)
-        return jax.lax.psum(partial, axis)
+    def build():
+        def block(phi_blk, w_blk, gid_blk):
+            # phi_blk: (n_test, blk); this shard's contribution per group
+            weighted = phi_blk * w_blk[None, :]
+            partial = jax.ops.segment_sum(weighted.T, gid_blk,
+                                          num_segments=n_groups)
+            return jax.lax.psum(partial, axis)               # (G, n_test)
 
-    fn = shard_map(
-        block, mesh=mesh,
-        in_specs=(P(None, axis), P(axis), P(axis)),
-        out_specs=P(),
-    )
+        return jax.jit(shard_map(
+            block, mesh=mesh,
+            in_specs=(P(None, axis), P(axis), P(axis)),
+            out_specs=P(),
+        ))
+
+    fn = _cached_program(("bary", mesh, axis, n_groups), build)
     return fn(phi_sharded, weights, group_ids)
 
 
@@ -177,9 +221,6 @@ def sharded_recombination(mesh: Mesh, kernel, x_cand: jax.Array,
     eigenfunction slots are given up, as in core/rchq.py:396-397) — this
     is what the exact-evidence BASQ quadrature needs multi-chip.
     """
-    from ..core.rchq import local_reduce
-    from ..utils.linalg import symmetrize
-
     if hasattr(kernel, "rc_apply"):
         k_apply, k_tree = kernel.rc_apply, kernel.rc_tree
     else:
@@ -190,17 +231,28 @@ def sharded_recombination(mesh: Mesh, kernel, x_cand: jax.Array,
         raise ValueError(
             f"n_nys={x_nys.shape[0]} must be >= num_pts={num_pts}")
     n_extra = 0 if extra_test_rows is None else extra_test_rows.shape[0]
-    n_test = num_pts - 1 - n_extra
-    if n_test < 1:
+    if num_pts - 1 - n_extra < 1:
         raise ValueError("num_pts too small for the extra test rows")
-    # symmetrize only — jitter shifts eigenvalues, not eigenvectors
-    # (matches core/rchq.py's basis construction)
-    k_nys = symmetrize(jnp.nan_to_num(k_apply(k_tree, x_nys, x_nys)))
-    _, eigvecs = jnp.linalg.eigh(k_nys)
-    u = eigvecs[:, -n_test:].T                              # (n_test, n_nys)
 
-    use_obj = calc_obj is not None
-    use_extra = extra_test_rows is not None
+    key = ("rec", mesh, axis, num_pts, n_extra, _rc_key(kernel),
+           _rc_key(calc_obj))
+    run = _cached_program(key, lambda: _build_sharded_recombination(
+        mesh, axis, num_pts, n_extra, k_apply,
+        o_apply if calc_obj is not None else None))
+    return run(k_tree, o_tree, x_nys, x_cand, weights, extra_test_rows)
+
+
+def _build_sharded_recombination(mesh, axis, num_pts, n_extra, k_apply,
+                                 o_apply):
+    """ONE jitted program for a sharded_recombination configuration:
+    eigenbasis prelude, the shard_map survivor pass, and the replicated
+    merge all trace together (see _PROGRAM_CACHE)."""
+    from ..core.rchq import local_reduce
+    from ..utils.linalg import symmetrize
+
+    n_test = num_pts - 1 - n_extra
+    use_obj = o_apply is not None
+    use_extra = n_extra > 0
 
     def block(k_tree, o_tree, u, x_nys, x_blk, w_blk, extra_blk):
         phi_blk = u @ k_apply(k_tree, x_nys, x_blk)         # (n_test, blk)
@@ -218,15 +270,25 @@ def sharded_recombination(mesh: Mesh, kernel, x_cand: jax.Array,
         in_specs=(P(), P(), P(), P(), P(axis, None), P(axis), extra_spec),
         out_specs=tuple(out_specs),
     )
-    out = fn(k_tree, o_tree, u, x_nys, x_cand, weights, extra_test_rows)
-    if use_obj:
-        idx_surv, w_surv, phi_surv, obj_surv = out
-    else:
-        (idx_surv, w_surv, phi_surv), obj_surv = out, None
 
-    # final replicated merge over n_devices * num_pts survivors (tiny)
-    idx_fin, w_fin = local_reduce(phi_surv, w_surv, num_pts, obj=obj_surv)
-    return idx_surv[idx_fin], w_fin
+    @jax.jit
+    def run(k_tree, o_tree, x_nys, x_cand, weights, extra_test_rows):
+        # symmetrize only — jitter shifts eigenvalues, not eigenvectors
+        # (matches core/rchq.py's basis construction)
+        k_nys = symmetrize(jnp.nan_to_num(k_apply(k_tree, x_nys, x_nys)))
+        _, eigvecs = jnp.linalg.eigh(k_nys)
+        u = eigvecs[:, -n_test:].T                          # (n_test, n_nys)
+        out = fn(k_tree, o_tree, u, x_nys, x_cand, weights, extra_test_rows)
+        if use_obj:
+            idx_surv, w_surv, phi_surv, obj_surv = out
+        else:
+            (idx_surv, w_surv, phi_surv), obj_surv = out, None
+        # final replicated merge over n_devices * num_pts survivors (tiny)
+        idx_fin, w_fin = local_reduce(phi_surv, w_surv, num_pts,
+                                      obj=obj_surv)
+        return idx_surv[idx_fin], w_fin
+
+    return run
 
 
 def sharded_acquisition(mesh: Mesh, state: GPState, eta: jax.Array,
@@ -253,21 +315,28 @@ def sharded_acquisition(mesh: Mesh, state: GPState, eta: jax.Array,
     and the cleansed pool weights (sharded over `axis`).
     """
     from ..config import settings
-    from ..core.rchq import local_reduce
-    from ..utils.linalg import symmetrize
 
     if x_nys.shape[0] < num_pts:
         raise ValueError(
             f"n_nys={x_nys.shape[0]} must be >= num_pts={num_pts}")
     eps = settings().eps_weights
-    n_test = num_pts - 1
-    k_nys = symmetrize(jnp.nan_to_num(
-        predictive_covariance(state, x_nys, x_nys)))
-    _, eigvecs = jnp.linalg.eigh(k_nys)
-    u = eigvecs[:, -n_test:].T                              # (n_test, n_nys)
-
     o_apply, o_tree = resolve_rc(calc_obj, fallback_to_closure=True)
-    use_obj = calc_obj is not None
+
+    key = ("acq", mesh, axis, num_pts, eps, _rc_key(calc_obj))
+    run = _cached_program(key, lambda: _build_sharded_acquisition(
+        mesh, axis, num_pts, eps,
+        o_apply if calc_obj is not None else None))
+    return run(state, eta, o_tree, x_nys, x_cand, prior_pdf)
+
+
+def _build_sharded_acquisition(mesh, axis, num_pts, eps, o_apply):
+    """ONE jitted program for a sharded_acquisition configuration
+    (see _PROGRAM_CACHE)."""
+    from ..core.rchq import local_reduce
+    from ..utils.linalg import symmetrize
+
+    n_test = num_pts - 1
+    use_obj = o_apply is not None
 
     def block(state, eta, o_tree, u, x_nys, x_blk, pdf_blk):
         w_blk = _pi_weight_block(state, eta, x_blk, pdf_blk, axis, eps)
@@ -284,13 +353,23 @@ def sharded_acquisition(mesh: Mesh, state: GPState, eta: jax.Array,
         in_specs=(P(), P(), P(), P(), P(), P(axis, None), P(axis)),
         out_specs=tuple(out_specs),
     )
-    out = fn(state, eta, o_tree, u, x_nys, x_cand, prior_pdf)
-    if use_obj:
-        idx_surv, w_surv, phi_surv, obj_surv, weights = out
-    else:
-        (idx_surv, w_surv, phi_surv, weights), obj_surv = out, None
-    idx_fin, w_fin = local_reduce(phi_surv, w_surv, num_pts, obj=obj_surv)
-    return idx_surv[idx_fin], w_fin, weights
+
+    @jax.jit
+    def run(state, eta, o_tree, x_nys, x_cand, prior_pdf):
+        k_nys = symmetrize(jnp.nan_to_num(
+            predictive_covariance(state, x_nys, x_nys)))
+        _, eigvecs = jnp.linalg.eigh(k_nys)
+        u = eigvecs[:, -n_test:].T                          # (n_test, n_nys)
+        out = fn(state, eta, o_tree, u, x_nys, x_cand, prior_pdf)
+        if use_obj:
+            idx_surv, w_surv, phi_surv, obj_surv, weights = out
+        else:
+            (idx_surv, w_surv, phi_surv, weights), obj_surv = out, None
+        idx_fin, w_fin = local_reduce(phi_surv, w_surv, num_pts,
+                                      obj=obj_surv)
+        return idx_surv[idx_fin], w_fin, weights
+
+    return run
 
 
 def sharded_fbgp_batch_predict(mesh: Mesh, fbgp, x_test: jax.Array,
@@ -303,17 +382,24 @@ def sharded_fbgp_batch_predict(mesh: Mesh, fbgp, x_test: jax.Array,
     alpha = fbgp._cache.alpha
     w_qd = fbgp.w_qd
 
-    def block(theta_blk, linv_blk, alpha_blk, w_blk, x_test):
-        f = jax.vmap(fbgp.fitbo_predict, in_axes=(None, 0, 0, 0))
-        mu_b, var_b = f(x_test, theta_blk, linv_blk, alpha_blk)
-        mu = jax.lax.psum(w_blk @ mu_b, axis)
-        e2 = jax.lax.psum(w_blk @ (var_b + mu_b**2), axis)
-        return mu, e2 - mu**2
+    def build():
+        def block(theta_blk, linv_blk, alpha_blk, w_blk, x_test):
+            f = jax.vmap(fbgp.fitbo_predict, in_axes=(None, 0, 0, 0))
+            mu_b, var_b = f(x_test, theta_blk, linv_blk, alpha_blk)
+            mu = jax.lax.psum(w_blk @ mu_b, axis)
+            e2 = jax.lax.psum(w_blk @ (var_b + mu_b**2), axis)
+            return mu, e2 - mu**2
 
-    fn = shard_map(
-        block, mesh=mesh,
-        in_specs=(P(axis, None), P(axis, None, None), P(axis, None),
-                  P(axis), P()),
-        out_specs=(P(), P()),
-    )
+        prog = jax.jit(shard_map(
+            block, mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None, None), P(axis, None),
+                      P(axis), P()),
+            out_specs=(P(), P()),
+        ))
+        # fitbo_predict closes over THIS fbgp's Xobs/mask: key the program
+        # on the instance identity and pin the instance so the id is never
+        # recycled onto a different model while the entry lives
+        return (prog, fbgp)
+
+    fn, _ = _cached_program(("fbgp_predict", mesh, axis, id(fbgp)), build)
     return fn(theta, linv, alpha, w_qd, x_test)

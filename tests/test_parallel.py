@@ -73,8 +73,16 @@ class TestShardedPaths:
     def test_sharded_recombination_end_to_end(self, mesh):
         """VERDICT r1 #10: full sharded recombination round — the
         (n_test, n_rec) strip never materializes replicated. Checks:
-        (a) the sharded result is bit-consistent with the SAME blockwise
-            algorithm executed single-device (shard-local trees + merge);
+        (a) the sharded program is deterministic, and its moments agree
+            with the SAME blockwise algorithm staged eagerly single-device
+            at machine tolerance. (Until r5 this asserted INDEX equality
+            with the eager replica; the whole sharded path now runs as one
+            cached jitted program — parallel/sharded.py:_PROGRAM_CACHE —
+            and XLA's fusion legitimately shifts the Gram's low bits,
+            rotating the eigenbasis and flipping CAR argmins between
+            equally valid eliminations. Measured moment error here:
+            sharded 9e-7, replica 1e-8, against a bitwise-DIFFERENT
+            support — both are exact quadratures of the same measure.);
         (b) quadrature invariants hold at the single-device tolerance:
             w >= 0, sum w = 1, and moment matching Phi @ scatter(w) =
             Phi @ mu;
@@ -95,10 +103,16 @@ class TestShardedPaths:
         w0 = w0 / w0.sum()
         kernel = RecombinationKernel(state, mode="predictive_covariance")
 
+        x_sh = shard_candidates(mesh, x_cand)
         idx_s, w_s = sharded_recombination(
-            mesh, kernel, shard_candidates(mesh, x_cand), x_nys, w0, batch)
+            mesh, kernel, x_sh, x_nys, w0, batch)
 
-        # (a) same algorithm single-device: per-block local trees + merge
+        # (a) determinism + moment parity with the same algorithm staged
+        # eagerly single-device: per-block local trees + merge
+        idx_s2, w_s2 = sharded_recombination(
+            mesh, kernel, x_sh, x_nys, w0, batch)
+        assert np.array_equal(np.asarray(idx_s), np.asarray(idx_s2))
+        assert np.array_equal(np.asarray(w_s), np.asarray(w_s2))
         n_test = batch - 1
         k_nys = make_psd(kernel(x_nys, x_nys))
         _, eigvecs = jnp.linalg.eigh(k_nys)
@@ -118,8 +132,9 @@ class TestShardedPaths:
         phi_all = jnp.concatenate(phis, axis=1)
         i_fin, w_fin = local_reduce(phi_all, w_all, batch)
         idx_ref, w_ref = idx_all[i_fin], w_fin
-        assert np.array_equal(np.asarray(idx_s), np.asarray(idx_ref))
-        assert np.allclose(np.asarray(w_s), np.asarray(w_ref), atol=1e-6)
+        moments_s = np.asarray(phi[:, idx_s] @ w_s)
+        moments_r = np.asarray(phi[:, idx_ref] @ w_ref)
+        assert np.abs(moments_s - moments_r).max() < 1e-5
 
         # (b) quadrature invariants at the single-device tolerance
         assert (np.asarray(w_s) >= 0).all()

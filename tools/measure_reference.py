@@ -275,8 +275,136 @@ def row_fbgp(n_obs=100, d=3, n_hypers=1000):
           "plain torch per iteration (no gpytorch rebuild: generous)")
 
 
+def row_fbgp_full(n_obs=100, d=3, n_hypers=1000, n_nys_qd=100, n_qd=50,
+                  n_rec=8192, n_nys=256, batch=50):
+    """The reference's ENTIRE fully-Bayesian BO iteration at the exact
+    bench_fbgp_step config (bench.py): the 1001-theta LML Python loop
+    (FBGP/_fully_Bayesian_gp.py:179-203), quadrature distillation via the
+    reference's recombination (:205-245), the 50-chain marginal predict
+    over the candidate pool (:291-340 — a Python loop of per-chain
+    predicts), and batch recombination under the marginal predictive
+    covariance (:354-370). GENEROUS in two ways: per-chain conditioning
+    caches are hoisted out of the predict calls (the reference rebuilds
+    the gpytorch model via reset_GP inside every fitbo_predict), and no
+    gpytorch module overhead anywhere."""
+    rchq = _load_ref("_rchq")
+    g = torch.Generator().manual_seed(0)
+    x = torch.rand((n_obs, d), generator=g, dtype=DTYPE) * 2 - 1
+    fobs = torch.exp(-0.5 * torch.sum((x / 0.6) ** 2, dim=1))
+    eta = fobs.max()
+    hypermu = torch.tensor([-2.0, 0.1, 0.1, 0.4], dtype=DTYPE)
+    hyperstd = torch.tensor([0.7, 1.0, 0.7, 0.7], dtype=DTYPE)
+    thetas = hypermu + hyperstd * torch.randn(
+        (n_hypers + 1, 4), generator=g, dtype=DTYPE)
+    x_cand = torch.rand((n_rec, d), generator=g, dtype=DTYPE) * 2 - 1
+    eye = torch.eye(n_obs, dtype=DTYPE)
+
+    def mll_one(tl):
+        big = torch.exp(tl)
+        eta_h = eta + big[0]
+        noise, ls, os_ = big[1], big[2], big[3]
+        gobs = torch.sign(eta_h) * torch.sqrt(
+            torch.clamp(2.0 * (eta_h - fobs), min=0.0))
+        kxx = _rbf(x, x, ls, os_)
+        kn = kxx + (noise + 1e-6) * eye
+        chol = torch.linalg.cholesky(kn)
+        alpha = torch.cholesky_solve(gobs[:, None], chol)[:, 0]
+        mu_g = kxx @ alpha
+        v = torch.linalg.solve_triangular(chol, kxx, upper=False)
+        cov_g = kxx - v.T @ v + noise * eye
+        var_g = torch.diagonal(cov_g)
+        mu_f = eta_h - 0.5 * (mu_g**2 + var_g)
+        cov_f = mu_g[:, None] * cov_g * mu_g[None, :] + 0.5 * cov_g**2
+        cov_f = cov_f + 1e-8 * eye
+        diff = fobs - mu_f
+        chol_f = torch.linalg.cholesky(cov_f)
+        w = torch.linalg.solve_triangular(
+            chol_f, diff[:, None], upper=False)[:, 0]
+        return (-0.5 * torch.sum(w**2)
+                - torch.sum(torch.log(torch.diagonal(chol_f)))
+                - 0.5 * n_obs * np.log(2 * np.pi)) / n_obs
+
+    class Chain:
+        """One distilled hypersample's conditioned FITBO GP; the cache is
+        built ONCE here where the reference re-conditions per predict."""
+
+        def __init__(self, theta):
+            self.eta_h, self.noise, self.ls, self.os_ = (
+                float(theta[0]), float(theta[1]), float(theta[2]),
+                float(theta[3]))
+            gobs = np.sign(self.eta_h) * torch.sqrt(
+                torch.clamp(2.0 * (self.eta_h - fobs), min=0.0))
+            k = _rbf(x, x, self.ls, self.os_) + (self.noise + 1e-6) * eye
+            self.w_inv = torch.cholesky_inverse(torch.linalg.cholesky(k))
+            self.alpha = self.w_inv @ gobs
+
+        def predict_f(self, q):
+            kqx = _rbf(q, x, self.ls, self.os_)
+            mu_g = kqx @ self.alpha
+            var_g = torch.clamp(
+                self.os_ - torch.sum((kqx @ self.w_inv) * kqx, dim=1)
+                + self.noise, min=0.0)
+            mu_f = self.eta_h - 0.5 * (mu_g**2 + var_g)
+            var_f = mu_g**2 * var_g + 0.5 * var_g**2
+            return mu_f, var_f
+
+    def iteration():
+        # 1. hyperposterior sweep: the reference's Python loop
+        lmls = []
+        for i in range(n_hypers + 1):
+            try:
+                lmls.append(float(mll_one(thetas[i])))
+            except Exception:
+                lmls.append(-1e30)
+        lmls_t = torch.tensor(lmls, dtype=DTYPE)
+        w_hyper = torch.softmax(lmls_t - lmls_t.max(), dim=0)
+        # 2. quadrature distillation over hypersample space
+        #    (FBGP/_fully_Bayesian_gp.py:205-245)
+        hyper_kernel = lambda a, b: _rbf(a, b, 1.0, 1.0)
+        idx_qd, w_qd = rchq.recombination(
+            thetas, thetas[:n_nys_qd], n_qd, hyper_kernel, DEVICE, DTYPE,
+            init_weights=w_hyper)
+        big = torch.exp(thetas[idx_qd])
+        theta_qd = torch.cat([eta + big[:, :1], big[:, 1:]], dim=1)
+        chains = [Chain(t) for t in theta_qd]
+        # 3. PI over the pool under the marginal predict (the 50-chain
+        #    Python loop of batch_predict)
+        mus, vars_ = zip(*(c.predict_f(x_cand) for c in chains))
+        mu_b, var_b = torch.stack(mus), torch.stack(vars_)
+        mu_m = w_qd @ mu_b
+        var_m = torch.clamp(
+            w_qd @ (var_b + mu_b**2) - mu_m**2, min=1e-12)
+        z = (mu_m - eta) / torch.sqrt(var_m)
+        w = torch.clamp(torch.special.ndtr(z), min=0.0)
+        w = w / w.sum()
+
+        # 4. batch recombination under marginal_predictive_covariance
+        #    (:354-370): each kernel call loops the 50 chains on BOTH sides
+        wq2 = 1.0 / (1.0 - float(torch.sum(w_qd**2)))
+
+        def marg_cov(a, b):
+            mu_a = torch.stack([c.predict_f(a)[0] for c in chains])
+            mu_bb = torch.stack([c.predict_f(b)[0] for c in chains])
+            ea, eb = w_qd @ mu_a, w_qd @ mu_bb
+            return wq2 * ((w_qd[:, None] * (mu_a - ea[None, :])).T
+                          @ (mu_bb - eb[None, :]))
+
+        i_rchq, w_rchq = rchq.recombination(
+            x_cand, x_cand[:n_nys], batch, marg_cov, DEVICE, DTYPE,
+            init_weights=w)
+        return i_rchq
+
+    value = _median_time(iteration, n=3)
+    _emit("ref_fbgp_full_iteration_1000hypers", value,
+          "reference FBGP iteration structure: 1001-theta Python LML loop "
+          "+ reference recombination distillation + 50-chain marginal "
+          "predict/cov loops + batch recombination (chain conditioning "
+          "hoisted + no gpytorch rebuild: generous)")
+
+
 ROWS = {"65k": row_65k, "200k": row_200k, "ising": row_ising,
-        "dataset": row_dataset, "fbgp": row_fbgp}
+        "dataset": row_dataset, "fbgp": row_fbgp,
+        "fbgp_full": row_fbgp_full}
 
 
 def main():
