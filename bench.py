@@ -202,7 +202,11 @@ def bench_ising(n_rec=200000, n_nys=500, batch=100, n_obs=500):
     keys = KeyRing(0)
     prior, fn = setup_ising()
     x_all = prior.sample(keys.next(), n_obs)
-    y_all = fn(x_all)
+    # objective values live HOST-side, as in any real black-box loop (the
+    # experiment/simulator returns host scalars): step's prior-reset
+    # heuristic reads y on the host, and a device-resident y would charge
+    # an artificial ~30 ms tunnel fetch per iteration to the bench
+    y_all = np.asarray(fn(x_all))
     # steady state: the current model was fitted at the previous iteration
     # (data minus the newest batch); the measured step refits on the full
     # data warm-started from it, as the reference does in place every
@@ -217,7 +221,7 @@ def bench_ising(n_rec=200000, n_nys=500, batch=100, n_obs=500):
         # into refitting already-converged hypers)
         sober.update_model(model)
         xb = sober.step(x_all, y_all, n_rec, n_nys, batch, warm_start=True)
-        jax.block_until_ready(xb)
+        float(jnp.sum(xb))   # scalar fetch (see bench_fbgp's note)
 
     value = _median_time(iteration)
     _emit("full_bo_iteration_200k_ising_d24", value)
@@ -238,10 +242,12 @@ def bench_fbgp_step(n_obs=100, d=3, n_hypers=1000, n_nys_qd=100, n_qd=50,
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(-1, 1, (n_obs, d)), jnp.float32)
-    y = jnp.exp(-0.5 * jnp.sum((x / 0.6) ** 2, axis=1))
+    # y stays HOST-side (see bench_ising's note): step_fbgp's reset
+    # heuristic reads it on the host every iteration
+    y = np.exp(-0.5 * np.sum((np.asarray(x) / 0.6) ** 2, axis=1))
     hp = RBFHyperPrior()
-    fbgp = fbgp_refit(FitboGP(x, y), hp, n_hypers=n_hypers, n_nys=n_nys_qd,
-                      n_qd=n_qd, key=jax.random.key(0))
+    fbgp = fbgp_refit(FitboGP(x, jnp.asarray(y)), hp, n_hypers=n_hypers,
+                      n_nys=n_nys_qd, n_qd=n_qd, key=jax.random.key(0))
     bounds = jnp.stack([-jnp.ones(d), jnp.ones(d)])
     sober = Sober(Uniform(bounds), fbgp, seed=0)
 

@@ -19,9 +19,9 @@ from sober_tpu.utils.prng import KeyRing
 
 
 def main(n_init=100, batch_size=100, n_rec=2000, n_nys=500,
-         n_iterations=15):
+         n_iterations=15, n_pool=None):
     keys = KeyRing(0)
-    prior = setup_malaria()
+    prior = setup_malaria(n_pool=n_pool)
     x_all, y_all = prior.sample(keys.next(), n_init)
     model = fit_tanimoto_gp(x_all, y_all)
     sober = Sober(prior, model,

@@ -85,13 +85,29 @@ def create_solvent_dataset(data_path: Optional[str] = None):
     return jnp.asarray(features), jnp.asarray(np.asarray(targets, np.float32))
 
 
-def setup_malaria(data_path: Optional[str] = None) -> DatasetPrior:
+def _subsample(features, targets, n_pool, seed):
+    """Budget knob for smoke/CI runs: a uniform subsample of the dataset
+    pool keeps the end-to-end flow at a fraction of the full-pool sweep
+    cost. n_pool=None (default) keeps the full dataset."""
+    if n_pool is None or n_pool >= features.shape[0]:
+        return features, targets
+    idx = np.random.default_rng(seed).choice(
+        features.shape[0], n_pool, replace=False)
+    idx = jnp.asarray(np.sort(idx))
+    return features[idx], targets[idx]
+
+
+def setup_malaria(data_path: Optional[str] = None, n_pool: int = None,
+                  seed: int = 0) -> DatasetPrior:
     """(experiments/_malaria.py:18-27)"""
     features, true_targets = create_malaria_dataset(data_path)
+    features, true_targets = _subsample(features, true_targets, n_pool, seed)
     return DatasetPrior(features, true_targets)
 
 
-def setup_solvent(data_path: Optional[str] = None) -> DatasetPrior:
+def setup_solvent(data_path: Optional[str] = None, n_pool: int = None,
+                  seed: int = 0) -> DatasetPrior:
     """(experiments/_solvent.py:18-27)"""
     features, true_targets = create_solvent_dataset(data_path)
+    features, true_targets = _subsample(features, true_targets, n_pool, seed)
     return DatasetPrior(features, true_targets)

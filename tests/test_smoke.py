@@ -37,9 +37,11 @@ SCRIPTS = [
      dict(n_init=32, n_iterations=1, n_rec=512, n_nys=64, batch_size=8,
           n_quad=512, n_quad_nys=64, n_nodes=16)),
     ("examples/malaria.py",
-     dict(n_init=16, batch_size=8, n_rec=256, n_nys=32, n_iterations=1)),
+     dict(n_init=16, batch_size=8, n_rec=256, n_nys=32, n_iterations=1,
+          n_pool=4096)),
     ("examples/solvent.py",
-     dict(n_init=16, batch_size=8, n_rec=256, n_nys=32, n_iterations=1)),
+     dict(n_init=16, batch_size=8, n_rec=256, n_nys=32, n_iterations=1,
+          n_pool=4096)),
     ("tutorials/00_quick_start.py",
      dict(n_init=10, n_iterations=1, n_rec=512, n_nys=32, batch_size=8)),
     ("tutorials/01_how_sober_works.py",
@@ -57,8 +59,11 @@ SCRIPTS = [
      dict(n_init=16, n_iterations=1, n_rec=256, n_nys=32, batch_size=8)),
     ("tutorials/07_compare_thompson_sampling.py",
      dict(n_iter=1, batch=8)),
+    # three representative baselines end-to-end; every method is covered
+    # individually at unit scale in tests/test_benchmarks.py
     ("tutorials/08_benchmark_batch_bo.py",
-     dict(batch=4, pool=2048, iters=1)),
+     dict(batch=4, pool=2048, iters=1,
+          methods=["SOBER", "TS", "TurBO"])),
     ("tutorials/advanced_01_bolfi.py",
      dict(n_init=16, n_iterations=1, batch_size=4, n_rec=512, n_nys=32,
           n_nodes=16)),

@@ -86,7 +86,8 @@ class TestDrugDatasets:
     def test_tanimoto_gp_on_malaria(self):
         from sober_tpu.gp import fit_tanimoto_gp, predict_raw
 
-        prior = setup_malaria()
+        # the GP-sanity check needs real fingerprints, not the full pool
+        prior = setup_malaria(n_pool=4096)
         x, y = prior.sample(KEY, 64)
         gp = fit_tanimoto_gp(x, y)
         mu, var = predict_raw(gp, x[:8])

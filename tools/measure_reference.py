@@ -383,11 +383,20 @@ def row_fbgp_full(n_obs=100, d=3, n_hypers=1000, n_nys_qd=100, n_qd=50,
         wq2 = 1.0 / (1.0 - float(torch.sum(w_qd**2)))
 
         def marg_cov(a, b):
-            mu_a = torch.stack([c.predict_f(a)[0] for c in chains])
-            mu_bb = torch.stack([c.predict_f(b)[0] for c in chains])
+            # the reference's recombination calls kernels with a batched
+            # 3-D second argument (samp[_idx_tmp], _rchq.py:124) and
+            # expects (g, m, s) — flatten, compute, reshape back
+            a2 = a.reshape(-1, a.shape[-1])
+            b2 = b.reshape(-1, b.shape[-1])
+            mu_a = torch.stack([c.predict_f(a2)[0] for c in chains])
+            mu_bb = torch.stack([c.predict_f(b2)[0] for c in chains])
             ea, eb = w_qd @ mu_a, w_qd @ mu_bb
-            return wq2 * ((w_qd[:, None] * (mu_a - ea[None, :])).T
-                          @ (mu_bb - eb[None, :]))
+            cov = wq2 * ((w_qd[:, None] * (mu_a - ea[None, :])).T
+                         @ (mu_bb - eb[None, :]))
+            if b.dim() == 3:
+                g, s, _ = b.shape
+                cov = cov.reshape(a2.shape[0], g, s).permute(1, 0, 2)
+            return cov
 
         i_rchq, w_rchq = rchq.recombination(
             x_cand, x_cand[:n_nys], batch, marg_cov, DEVICE, DTYPE,
